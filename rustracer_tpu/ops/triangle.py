@@ -1,0 +1,133 @@
+"""Batched watertight ray-triangle intersection and triangle sampling.
+
+Reference: rustracer-core/src/shapes/mesh.rs:214-260 (the PBRT watertight
+test: translate/permute/shear + edge functions). The f64 fallback at exactly-
+zero edge functions is omitted — on TPU we accept the (measure-zero) edge
+cases; robust ray offsetting handles self-intersection.
+
+All functions broadcast: rays (..., 3) against triangles (..., 3) vertex
+arrays; callers arrange broadcasting, e.g. (B, 1, 3) rays x (1, T, 3) tris.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..core.math import cross, dot, gamma, length_squared, normalize
+from ..core.sampling import uniform_sample_triangle
+
+
+class TriHit(NamedTuple):
+    hit: jnp.ndarray   # (...) bool
+    t: jnp.ndarray     # (...)
+    b0: jnp.ndarray    # barycentrics
+    b1: jnp.ndarray
+    b2: jnp.ndarray
+
+
+def _permuted(v, kx, ky, kz):
+    take = lambda k: jnp.take_along_axis(v, k[..., None], axis=-1)[..., 0]
+    return take(kx), take(ky), take(kz)
+
+
+def triangle_intersect(o, d, t_max, p0, p1, p2):
+    """Watertight intersect; everything broadcasts (mesh.rs:214-260)."""
+    # pick kz = max |d| component, cyclic kx/ky
+    ad = jnp.abs(d)
+    kz = jnp.argmax(ad, axis=-1).astype(jnp.int32)
+    kx = (kz + 1) % 3
+    ky = (kx + 1) % 3
+
+    dx, dy, dz = _permuted(jnp.broadcast_to(d, jnp.broadcast_shapes(d.shape, p0.shape)),
+                           kx, ky, kz)
+    sz = 1.0 / dz
+    sx = -dx * sz
+    sy = -dy * sz
+
+    def shear(p):
+        pt = p - o
+        ptx, pty, ptz = _permuted(jnp.broadcast_to(pt, jnp.broadcast_shapes(pt.shape, d.shape)),
+                                  kx, ky, kz)
+        return ptx + sx * ptz, pty + sy * ptz, ptz * sz
+
+    x0, y0, z0 = shear(p0)
+    x1, y1, z1 = shear(p1)
+    x2, y2, z2 = shear(p2)
+
+    e0 = x1 * y2 - y1 * x2
+    e1 = x2 * y0 - y2 * x0
+    e2 = x0 * y1 - y0 * x1
+
+    same_sign = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)) | \
+                ((e0 <= 0) & (e1 <= 0) & (e2 <= 0))
+    det = e0 + e1 + e2
+    nonzero = det != 0.0
+    inv_det = 1.0 / jnp.where(nonzero, det, 1.0)
+    t_scaled = e0 * z0 + e1 * z1 + e2 * z2
+    t = t_scaled * inv_det
+    # conservative error bound on t (PBRT 3.9.6)
+    max_zt = jnp.maximum(jnp.maximum(jnp.abs(z0), jnp.abs(z1)), jnp.abs(z2))
+    max_xt = jnp.maximum(jnp.maximum(jnp.abs(x0), jnp.abs(x1)), jnp.abs(x2))
+    max_yt = jnp.maximum(jnp.maximum(jnp.abs(y0), jnp.abs(y1)), jnp.abs(y2))
+    max_e = jnp.maximum(jnp.maximum(jnp.abs(e0), jnp.abs(e1)), jnp.abs(e2))
+    delta_z = gamma(3) * max_zt
+    delta_x = gamma(5) * (max_xt + max_zt)
+    delta_y = gamma(5) * (max_yt + max_zt)
+    delta_e = 2.0 * (gamma(2) * max_xt * max_yt + delta_y * max_xt + delta_x * max_yt)
+    delta_t = 3.0 * (gamma(3) * max_e * max_zt + delta_e * max_zt + delta_z * max_e) * \
+        jnp.abs(inv_det)
+
+    hit = same_sign & nonzero & (t > delta_t) & (t < t_max)
+    b0 = e0 * inv_det
+    b1 = e1 * inv_det
+    b2 = e2 * inv_det
+    return TriHit(hit=hit, t=t, b0=b0, b1=b1, b2=b2)
+
+
+def triangle_point_error(b0, b1, b2, p0, p1, p2):
+    """p and gamma(7)-scaled error bound at barycentric point (PBRT)."""
+    p = b0[..., None] * p0 + b1[..., None] * p1 + b2[..., None] * p2
+    abs_sum = (jnp.abs(b0[..., None] * p0) + jnp.abs(b1[..., None] * p1)
+               + jnp.abs(b2[..., None] * p2))
+    return p, gamma(7) * abs_sum
+
+
+def triangle_area(p0, p1, p2):
+    return 0.5 * jnp.sqrt(jnp.maximum(length_squared(cross(p1 - p0, p2 - p0)), 0.0))
+
+
+def triangle_sample(u, p0, p1, p2):
+    """Uniform area sample → (p, n_unnormalized_len? , p_error).
+
+    Returns (p, ng, p_error); ng is the (normalized) geometric normal
+    following the winding (reference mesh.rs sample)."""
+    b = uniform_sample_triangle(u)
+    b0 = b[..., 0]
+    b1 = b[..., 1]
+    b2 = 1.0 - b0 - b1
+    p = b0[..., None] * p0 + b1[..., None] * p1 + b2[..., None] * p2
+    ng = normalize(cross(p1 - p0, p2 - p0))
+    abs_sum = (jnp.abs(b0[..., None] * p0) + jnp.abs(b1[..., None] * p1)
+               + jnp.abs(b2[..., None] * p2))
+    return p, ng, gamma(6) * abs_sum
+
+
+def triangle_partial_derivs(p0, p1, p2, uv0, uv1, uv2):
+    """dpdu/dpdv from the uv parameterization (mesh.rs get_uvs + derivs)."""
+    duv02 = uv0 - uv2
+    duv12 = uv1 - uv2
+    dp02 = p0 - p2
+    dp12 = p1 - p2
+    det = duv02[..., 0] * duv12[..., 1] - duv02[..., 1] * duv12[..., 0]
+    degenerate = jnp.abs(det) < 1e-12
+    inv = 1.0 / jnp.where(degenerate, 1.0, det)
+    dpdu = (duv12[..., 1, None] * dp02 - duv02[..., 1, None] * dp12) * inv[..., None]
+    dpdv = (-duv12[..., 0, None] * dp02 + duv02[..., 0, None] * dp12) * inv[..., None]
+    # fall back to an arbitrary frame around the geometric normal
+    ng = cross(p2 - p0, p1 - p0)
+    from ..core.math import coordinate_system
+    fb_u, fb_v = coordinate_system(normalize(ng))
+    dpdu = jnp.where(degenerate[..., None], fb_u, dpdu)
+    dpdv = jnp.where(degenerate[..., None], fb_v, dpdv)
+    return dpdu, dpdv
