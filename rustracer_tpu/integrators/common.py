@@ -1,0 +1,110 @@
+"""Shared integrator machinery: visibility, MIS direct lighting.
+
+Reference: rustracer-core/src/integrator/mod.rs:145-318
+(uniform_sample_all_light / one_light, estimate_direct with the power
+heuristic, VisibilityTester). All batched over lanes with validity masks.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.math import INFINITY, absdot, dot, length, normalize, offset_ray_origin
+from ..core.ray import Ray
+from ..core.sampling import power_heuristic
+from ..core.spectrum import is_black
+from ..ops import bsdf as B
+from ..scene import lights as L
+from ..scene.tables import scene_intersect, scene_intersect_p
+
+
+def unoccluded(geom, si, ls: L.LightSample):
+    """VisibilityTester (light/mod.rs:42-56): shadow ray from si to the
+    sampled light point (or direction probe for distant/infinite)."""
+    o = offset_ray_origin(si.p, si.p_error, si.n, ls.wi)
+    p_t = jnp.where(ls.at_infinity[..., None], ls.p_target,
+                    offset_ray_origin(ls.p_target, ls.err_target, ls.n_target,
+                                      o - ls.p_target))
+    d = p_t - o
+    dist = length(d)
+    t_max = jnp.where(ls.at_infinity, INFINITY, 1.0 - 1e-3)
+    ray = Ray(o=o, d=jnp.where(ls.at_infinity[..., None], ls.wi, d),
+              t_max=t_max)
+    return ~scene_intersect_p(geom, ray)
+
+
+def estimate_direct(ctx, mat_set, si, lobes, lid, u_light, u_scatter_lobe,
+                    u_scatter, handle_media=False, specular=False):
+    """MIS light-sample + BSDF-sample direct lighting
+    (integrator/mod.rs:222-318). Returns (B, 3) radiance (un-beta'd)."""
+    types = mat_set.types_present()
+    flags = B.ALL if specular else (B.ALL & ~B.SPECULAR)
+    geom = ctx.geom
+    lt = ctx.lights
+    zero = jnp.zeros(si.t.shape + (3,), jnp.float32)
+
+    # --- light sampling strategy ---
+    ls = L.sample_li(lt, geom, lid, si, u_light)
+    f = B.bsdf_f(lobes, si, si.wo, ls.wi, types, flags) * \
+        absdot(ls.wi, si.ns)[..., None]
+    scattering_pdf = B.bsdf_pdf(lobes, si, si.wo, ls.wi, types, flags)
+    contrib_possible = (ls.pdf > 0.0) & ~is_black(ls.li) & ~is_black(f) & si.valid
+    vis = unoccluded(geom, si, ls) & contrib_possible
+    li = jnp.where(vis[..., None], ls.li, 0.0)
+    weight = jnp.where(ls.is_delta, 1.0,
+                       power_heuristic(1.0, ls.pdf, 1.0, scattering_pdf))
+    ld = jnp.where(contrib_possible[..., None],
+                   f * li * (weight / jnp.maximum(ls.pdf, 1e-12))[..., None],
+                   zero)
+
+    # --- BSDF sampling strategy (skip for delta lights) ---
+    wi_b, f_b, pdf_b, sampled_flags, ok_b = B.bsdf_sample_f(
+        lobes, si, si.wo, u_scatter_lobe, u_scatter, types, flags)
+    f_b = f_b * absdot(wi_b, si.ns)[..., None]
+    sampled_specular = (sampled_flags & B.SPECULAR) != 0
+    do_bsdf = ok_b & ~ls.is_delta & ~is_black(f_b) & (pdf_b > 0.0) & si.valid
+    light_pdf = L.pdf_li(lt, geom, lid, si, wi_b)
+    w_b = jnp.where(sampled_specular, 1.0,
+                    power_heuristic(1.0, pdf_b, 1.0, light_pdf))
+    do_bsdf = do_bsdf & (sampled_specular | (light_pdf > 0.0))
+    # trace the BSDF ray; did we hit THIS light?
+    ray_b = si.spawn_ray(wi_b)
+    si_b = scene_intersect(geom, ray_b)
+    hit_this_light = si_b.valid & (si_b.arealight == lid)
+    le_surf = L.arealight_le(lt, si_b.arealight, si_b.n, -wi_b)
+    le_surf = jnp.where(hit_this_light[..., None], le_surf, 0.0)
+    is_inf_row = lt.l_type[lid] == L.LIGHT_INFINITE
+    le_escape = jnp.where((~si_b.valid & is_inf_row)[..., None],
+                          L.infinite_le(lt, wi_b), 0.0)
+    li_b = le_surf + le_escape
+    ld = ld + jnp.where(do_bsdf[..., None],
+                        f_b * li_b * (w_b / jnp.maximum(pdf_b, 1e-12))[..., None],
+                        zero)
+    return ld
+
+
+def uniform_sample_one_light(ctx, mat_set, si, lobes, sampler, lanes, dims):
+    """Pick one light uniformly (integrator/mod.rs:186-220)."""
+    lt = ctx.lights
+    n = lt.n_lights
+    u_sel = sampler.get_1d(lanes.pixel_idx, lanes.sample_idx, dims.next_1d())
+    lid = jnp.minimum((u_sel * n).astype(jnp.int32), n - 1)
+    u_light = sampler.get_2d(lanes.pixel_idx, lanes.sample_idx, dims.next_2d())
+    u_sc_lobe = sampler.get_1d(lanes.pixel_idx, lanes.sample_idx, dims.next_1d())
+    u_sc = sampler.get_2d(lanes.pixel_idx, lanes.sample_idx, dims.next_2d())
+    ld = estimate_direct(ctx, mat_set, si, lobes, lid, u_light, u_sc_lobe, u_sc)
+    return ld * float(n)
+
+
+def uniform_sample_all_lights(ctx, mat_set, si, lobes, sampler, lanes, dims):
+    """Loop all lights (integrator/mod.rs:145-184), one sample each."""
+    lt = ctx.lights
+    n = lt.n_lights
+    total = jnp.zeros(si.t.shape + (3,), jnp.float32)
+    for i in range(n):
+        lid = jnp.full(si.t.shape, i, jnp.int32)
+        u_light = sampler.get_2d(lanes.pixel_idx, lanes.sample_idx, dims.next_2d())
+        u_sc_lobe = sampler.get_1d(lanes.pixel_idx, lanes.sample_idx, dims.next_1d())
+        u_sc = sampler.get_2d(lanes.pixel_idx, lanes.sample_idx, dims.next_2d())
+        total = total + estimate_direct(ctx, mat_set, si, lobes, lid, u_light,
+                                        u_sc_lobe, u_sc)
+    return total

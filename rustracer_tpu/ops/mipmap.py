@@ -1,0 +1,140 @@
+"""MIP-mapped image lookups, batched gathers.
+
+Reference: rustracer-core/src/mipmap.rs (pyramid build, trilinear `triangle`
+and EWA `lookup_diff`, wrap modes) + blockedarray.rs. On TPU the pyramid is a
+static list of (H, W, C) arrays; lookups are gather-based and differentiable
+w.r.t. the texel data. The reference's 8x8 BlockedArray tiling is dropped —
+XLA/HBM layout handles locality.
+
+EWA is approximated by multi-tap anisotropic filtering along the major axis
+(fixed tap count, vectorizes; same spirit, bounded cost) — the reference's
+variable-extent EWA loop is hostile to fixed-shape SPMD.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+WRAP_REPEAT, WRAP_BLACK, WRAP_CLAMP = 0, 1, 2
+
+
+def build_pyramid(img: np.ndarray):
+    """Host-side pyramid build (mipmap.rs resampling, simplified to 2x box
+    after rounding up to pow2 dimensions with edge-clamp resample)."""
+    img = np.asarray(img, np.float32)
+    if img.ndim == 2:
+        img = img[..., None]
+    h, w = img.shape[:2]
+    h2 = 1 << int(np.ceil(np.log2(max(1, h))))
+    w2 = 1 << int(np.ceil(np.log2(max(1, w))))
+    if (h2, w2) != (h, w):
+        # bilinear resample to pow2
+        yi = np.linspace(0, h - 1, h2)
+        xi = np.linspace(0, w - 1, w2)
+        y0 = np.floor(yi).astype(int)
+        x0 = np.floor(xi).astype(int)
+        y1 = np.minimum(y0 + 1, h - 1)
+        x1 = np.minimum(x0 + 1, w - 1)
+        fy = (yi - y0)[:, None, None]
+        fx = (xi - x0)[None, :, None]
+        img = ((1 - fy) * (1 - fx) * img[y0][:, x0]
+               + (1 - fy) * fx * img[y0][:, x1]
+               + fy * (1 - fx) * img[y1][:, x0]
+               + fy * fx * img[y1][:, x1]).astype(np.float32)
+        h, w = h2, w2
+    levels = [img]
+    while h > 1 or w > 1:
+        nh, nw = max(1, h // 2), max(1, w // 2)
+        cur = levels[-1][: nh * 2, : nw * 2]
+        if h == 1:
+            nxt = 0.5 * (cur[:, 0::2] + cur[:, 1::2])
+        elif w == 1:
+            nxt = 0.5 * (cur[0::2] + cur[1::2])
+        else:
+            nxt = 0.25 * (cur[0::2, 0::2] + cur[1::2, 0::2]
+                          + cur[0::2, 1::2] + cur[1::2, 1::2])
+        levels.append(nxt.astype(np.float32))
+        h, w = nh, nw
+    return levels
+
+
+def _texel(level, s_i, t_i, wrap):
+    """Gather texel (s_i, t_i) from one level with wrap handling."""
+    h, w = level.shape[0], level.shape[1]
+    if wrap == WRAP_REPEAT:
+        s_i = jnp.mod(s_i, w)
+        t_i = jnp.mod(t_i, h)
+        mask = None
+    elif wrap == WRAP_CLAMP:
+        s_i = jnp.clip(s_i, 0, w - 1)
+        t_i = jnp.clip(t_i, 0, h - 1)
+        mask = None
+    else:  # black
+        mask = (s_i >= 0) & (s_i < w) & (t_i >= 0) & (t_i < h)
+        s_i = jnp.clip(s_i, 0, w - 1)
+        t_i = jnp.clip(t_i, 0, h - 1)
+    v = level[t_i, s_i]
+    if mask is not None:
+        v = jnp.where(mask[..., None], v, 0.0)
+    return v
+
+
+def bilerp_level(level, st, wrap):
+    """Bilinear lookup at continuous st in [0,1)^2 on one level."""
+    h, w = level.shape[0], level.shape[1]
+    s = st[..., 0] * w - 0.5
+    t = st[..., 1] * h - 0.5
+    s0 = jnp.floor(s).astype(jnp.int32)
+    t0 = jnp.floor(t).astype(jnp.int32)
+    ds = (s - s0)[..., None]
+    dt = (t - t0)[..., None]
+    v00 = _texel(level, s0, t0, wrap)
+    v10 = _texel(level, s0 + 1, t0, wrap)
+    v01 = _texel(level, s0, t0 + 1, wrap)
+    v11 = _texel(level, s0 + 1, t0 + 1, wrap)
+    return (1 - ds) * (1 - dt) * v00 + ds * (1 - dt) * v10 + \
+        (1 - ds) * dt * v01 + ds * dt * v11
+
+
+def lookup_trilinear(pyramid, st, width, wrap=WRAP_REPEAT):
+    """Trilinear (isotropic) lookup (mipmap.rs lookup/triangle).
+
+    pyramid: list of (H, W, C) jnp arrays; st (B, 2); width (B,).
+    """
+    n = len(pyramid)
+    level = n - 1 + jnp.log2(jnp.maximum(width, 1e-8))
+    level = jnp.clip(level, 0.0, n - 1)
+    l0 = jnp.floor(level).astype(jnp.int32)
+    dl = (level - l0)[..., None]
+    # gather both levels for every lane: evaluate all levels masked (static
+    # level count; each level's bilerp is cheap relative to the gathers)
+    out0 = jnp.zeros(st.shape[:-1] + (pyramid[0].shape[-1],), pyramid[0].dtype)
+    out1 = jnp.zeros_like(out0)
+    for i, lv in enumerate(pyramid):
+        v = bilerp_level(lv, st, wrap)
+        out0 = jnp.where((l0 == i)[..., None], v, out0)
+        out1 = jnp.where((jnp.minimum(l0 + 1, n - 1) == i)[..., None], v, out1)
+    return (1.0 - dl) * out0 + dl * out1
+
+
+def lookup_ewa(pyramid, st, dst0, dst1, max_anisotropy=8.0, wrap=WRAP_REPEAT,
+               n_taps=4):
+    """Anisotropic lookup approximating EWA (mipmap.rs lookup_diff):
+    pick the level from the MINOR axis (sharper than trilinear), then take
+    `n_taps` trilinear taps spread along the MAJOR axis — the classic
+    fixed-cost anisotropic filtering used where variable-extent EWA loops
+    are impractical.
+    """
+    len0 = jnp.sqrt(jnp.maximum(jnp.sum(dst0 * dst0, -1), 1e-24))
+    len1 = jnp.sqrt(jnp.maximum(jnp.sum(dst1 * dst1, -1), 1e-24))
+    major_is_0 = len0 >= len1
+    major_len = jnp.where(major_is_0, len0, len1)
+    minor_len = jnp.where(major_is_0, len1, len0)
+    major = jnp.where(major_is_0[..., None], dst0, dst1)
+    # clamp anisotropy
+    minor_len = jnp.maximum(minor_len, major_len / max_anisotropy)
+    out = jnp.zeros(st.shape[:-1] + (pyramid[0].shape[-1],), pyramid[0].dtype)
+    for i in range(n_taps):
+        a = (i + 0.5) / n_taps - 0.5
+        out = out + lookup_trilinear(pyramid, st + a * major, minor_len, wrap)
+    return out / n_taps

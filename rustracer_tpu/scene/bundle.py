@@ -1,0 +1,298 @@
+"""SceneBundle: the frozen, renderable scene produced by world_end.
+
+Reference: api.rs:977-1017 (world_end builds camera → integrator → sampler →
+scene and invokes renderer::render). Here world_end freezes flat tables and
+returns a bundle; rendering is an explicit call (the CLI mirrors the
+reference's immediate render-on-WorldEnd).
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..render.camera import PerspectiveCamera
+from ..render.film import Film
+from ..render.filters import make_filter
+from ..render.renderer import RenderConfig, RenderContext, render
+from ..render.sampler import SamplerConfig
+from .lights import LIGHT_AREA, make_lights
+from .tables import make_geometry
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class SceneBundle:
+    geom: object
+    lights: object
+    material_set: object
+    textures: dict
+    camera: PerspectiveCamera
+    film: Film
+    sampler: SamplerConfig
+    integrator: object
+    integrator_name: str
+    filename: str
+
+    def context(self) -> RenderContext:
+        return RenderContext(geom=self.geom, lights=self.lights,
+                             textures=self.textures)
+
+    def render(self, progress=False, max_lanes=1 << 16):
+        cfg = RenderConfig(max_lanes=max_lanes, report_progress=progress)
+        return render(self.context(), self.integrator.li, self.camera,
+                      self.film, self.sampler, cfg)
+
+
+def _emit_geometry(api):
+    """Records → numpy SoA arrays + per-prim area-light row assignment."""
+    ro = api.render_options
+    light_rows = list(ro.lights)
+
+    nq = len(ro.quadrics)
+    quad = None
+    q_al = []
+    if nq:
+        quad = dict(
+            q_type=np.array([r.qtype for r in ro.quadrics], np.int32),
+            q_o2w=np.stack([r.o2w.m for r in ro.quadrics]),
+            q_w2o=np.stack([r.o2w.m_inv for r in ro.quadrics]),
+            q_params=np.stack([r.params for r in ro.quadrics]),
+            q_material=np.array([r.material for r in ro.quadrics], np.int32),
+            q_reverse=np.array([r.reverse for r in ro.quadrics], bool),
+        )
+    n_quad_slots = max(nq, 1)  # dummy pad occupies slot 0 when empty
+
+    # quadric area lights
+    for i, r in enumerate(ro.quadrics):
+        if r.arealight_spec is not None:
+            emit, two = r.arealight_spec
+            light_rows.append(dict(type=LIGHT_AREA, pos=(0, 0, 0), emit=emit,
+                                   prim=i, twosided=two))
+            q_al.append(len(light_rows) - 1)
+        else:
+            q_al.append(-1)
+    if quad is not None:
+        quad["q_arealight"] = np.array(q_al, np.int32)
+
+    # meshes: transform to world & concatenate (mesh.rs:30-60 world pre-xform)
+    vs, ns_, uvs, ss_, idxs = [], [], [], [], []
+    t_mat, t_al, t_rev, t_has_n, t_has_uv, t_alpha = [], [], [], [], [], []
+    v_off = 0
+    for rec in ro.meshes:
+        p = rec.o2w.apply_point(rec.p)
+        nv = p.shape[0]
+        vs.append(p.astype(np.float32))
+        if rec.n is not None and len(rec.n):
+            ns_.append(rec.o2w.apply_normal(rec.n).astype(np.float32))
+            has_n = True
+        else:
+            ns_.append(np.zeros((nv, 3), np.float32))
+            has_n = False
+        if rec.uv is not None and len(rec.uv):
+            uvs.append(np.asarray(rec.uv, np.float32))
+            has_uv = True
+        else:
+            uvs.append(np.zeros((nv, 2), np.float32))
+            has_uv = False
+        if rec.s is not None and len(rec.s):
+            ss_.append(rec.o2w.apply_vector(rec.s).astype(np.float32))
+        else:
+            ss_.append(np.zeros((nv, 3), np.float32))
+        tris = np.asarray(rec.indices, np.int32) + v_off
+        idxs.append(tris)
+        nt = tris.shape[0]
+        t_mat += [rec.material] * nt
+        t_rev += [rec.reverse] * nt
+        t_has_n += [has_n] * nt
+        t_has_uv += [has_uv] * nt
+        t_alpha += [rec.alpha_tex] * nt
+        if rec.arealight_spec is not None:
+            emit, two = rec.arealight_spec
+            # one DiffuseAreaLight per triangle (api.rs:934-946 semantics)
+            base_tri = sum(len(x) for x in idxs[:-1])
+            for k in range(nt):
+                light_rows.append(dict(
+                    type=LIGHT_AREA, pos=(0, 0, 0), emit=emit,
+                    prim=n_quad_slots + base_tri + k, twosided=two))
+                t_al.append(len(light_rows) - 1)
+        else:
+            t_al += [-1] * nt
+        v_off += nv
+
+    tris = None
+    if idxs:
+        tris = dict(
+            tv_p=np.concatenate(vs), tv_n=np.concatenate(ns_),
+            tv_uv=np.concatenate(uvs), tv_s=np.concatenate(ss_),
+            t_idx=np.concatenate(idxs),
+            t_material=np.array(t_mat, np.int32),
+            t_arealight=np.array(t_al, np.int32),
+            t_reverse=np.array(t_rev, bool),
+            t_has_n=np.array(t_has_n, bool),
+            t_has_uv=np.array(t_has_uv, bool),
+            t_alpha_tex=np.array(t_alpha, np.int32),
+        )
+    return quad, tris, light_rows
+
+
+def _world_bounds(quad, tris):
+    los, his = [], []
+    if tris is not None and len(tris["tv_p"]):
+        los.append(tris["tv_p"].min(0))
+        his.append(tris["tv_p"].max(0))
+    if quad is not None:
+        from ..ops.quadrics import quadric_world_bounds_np
+        lo, hi = quadric_world_bounds_np(quad["q_type"], quad["q_o2w"],
+                                         quad["q_params"])
+        los.append(lo.min(0))
+        his.append(hi.max(0))
+    if not los:
+        return np.zeros(3, np.float32), np.float32(1.0)
+    lo = np.min(np.stack(los), 0)
+    hi = np.max(np.stack(his), 0)
+    center = 0.5 * (lo + hi)
+    radius = float(np.linalg.norm(hi - center)) or 1.0
+    return center, radius
+
+
+def build_bundle(api) -> SceneBundle:
+    ro = api.render_options
+    quad, tris, light_rows = _emit_geometry(api)
+
+    # BVH over everything (accelerator "bvh"; api.rs:263-276)
+    bvh = None
+    n_prims = (len(ro.quadrics) if quad else 0) + \
+        (len(tris["t_idx"]) if tris else 0)
+    if n_prims > 8:
+        try:
+            from ..accel.bvh import build_bvh_arrays
+            split = ro.accelerator_params.find_one_string("splitmethod", "sah")
+            maxprims = ro.accelerator_params.find_one_int("maxnodeprims", 4)
+            bvh = build_bvh_arrays(quad, tris, split_method=split,
+                                   max_prims=maxprims)
+        except ImportError:
+            log.warning("BVH module unavailable; brute-force intersection")
+
+    geom = make_geometry(quadrics=quad, tris=tris, bvh=bvh)
+    center, radius = _world_bounds(quad, tris)
+
+    inf = ro.infinite_light
+    inf_map = None
+    inf_l2w = None
+    inf_scale = None
+    if inf is not None:
+        if inf["mapname"]:
+            from ..render.imageio import read_image
+            inf_map = read_image(inf["mapname"])
+        else:
+            inf_map = np.ones((4, 8, 3), np.float32)
+        inf_l2w = inf["l2w"]
+        inf_scale = inf["scale"]
+    lights = make_lights(light_rows, world_center=center, world_radius=radius,
+                         inf_map=inf_map, inf_l2w=inf_l2w, inf_scale=inf_scale)
+
+    # film / filter / camera / sampler (api.rs:181-260 factories)
+    filt = make_filter(ro.filter_name, ro.filter_params)
+    fp = ro.film_params
+    xres = fp.find_one_int("xresolution", 1280)
+    yres = fp.find_one_int("yresolution", 720)
+    crop = fp.find_float("cropwindow")
+    if crop is not None and len(crop) == 4:
+        # PBRT order [x0 x1 y0 y1] → Film (x0, y0, x1, y1)
+        crop = (float(crop[0]), float(crop[2]), float(crop[1]), float(crop[3]))
+    else:
+        crop = (0.0, 0.0, 1.0, 1.0)
+    # quirk parity: scene-provided filenames get an "rt-" prefix
+    # (reference film.rs:118-123)
+    fname = fp.find_one_string("filename", "")
+    fname = ("rt-" + fname) if fname else "pbrt.png"
+    film = Film(full_resolution=(xres, yres),
+                crop_window=crop,
+                filter=filt, filename=fname,
+                scale=fp.find_one_float("scale", 1.0),
+                max_sample_luminance=fp.find_one_float("maxsampleluminance",
+                                                       float("inf")),
+                diagonal=fp.find_one_float("diagonal", 35.0) * 0.001)
+
+    cp = ro.camera_params
+    if ro.camera_name not in ("perspective",):
+        log.warning("camera %r unsupported (reference has perspective only); "
+                    "using perspective", ro.camera_name)
+    sw = cp.find_float("screenwindow")
+    screen = None
+    if sw is not None and len(sw) == 4:
+        screen = (float(sw[0]), float(sw[1]), float(sw[2]), float(sw[3]))
+    camera = PerspectiveCamera.create(
+        ro.camera_to_world,
+        fov=cp.find_one_float("fov", 90.0),
+        lens_radius=cp.find_one_float("lensradius", 0.0),
+        focal_distance=cp.find_one_float("focaldistance", 1e6),
+        resolution=(xres, yres), screen_window=screen,
+        shutter_open=cp.find_one_float("shutteropen", 0.0),
+        shutter_close=cp.find_one_float("shutterclose", 1.0))
+
+    sp = ro.sampler_params
+    sname = ro.sampler_name
+    if sname in ("02sequence", "lowdiscrepancy", "zerotwosequence"):
+        sampler = SamplerConfig(kind="02sequence",
+                                spp=sp.find_one_int("pixelsamples", 16))
+    elif sname == "random":
+        sampler = SamplerConfig(kind="random",
+                                spp=sp.find_one_int("pixelsamples", 4))
+    else:
+        log.warning("sampler %r unsupported; using 02sequence "
+                    "(reference api.rs:205-215 supports only 02sequence)", sname)
+        sampler = SamplerConfig(kind="02sequence",
+                                spp=sp.find_one_int("pixelsamples", 16))
+
+    ip = ro.integrator_params
+    iname = ro.integrator_name
+    ms = api.material_set
+    if iname == "path":
+        from ..integrators.path import PathIntegrator
+        integ = PathIntegrator(mat_set=ms,
+                               max_depth=ip.find_one_int("maxdepth", 5),
+                               rr_threshold=ip.find_one_float("rrthreshold", 1.0))
+    elif iname == "directlighting":
+        from ..integrators.direct import DirectLightingIntegrator
+        strat = ip.find_one_string("strategy", "all")
+        integ = DirectLightingIntegrator(
+            mat_set=ms, strategy="one" if strat == "one" else "all",
+            max_depth=ip.find_one_int("maxdepth", 5))
+    elif iname == "whitted":
+        from ..integrators.whitted import WhittedIntegrator
+        integ = WhittedIntegrator(mat_set=ms,
+                                  max_depth=ip.find_one_int("maxdepth", 5))
+    elif iname in ("ao", "ambientocclusion"):
+        from ..integrators import ao as ao_mod
+
+        class _AO:
+            def __init__(self, n):
+                self.n = n
+
+            def li(self, ctx, ray, lanes, sampler, dims):
+                return ao_mod.li(ctx, ray, lanes, sampler, dims,
+                                 n_samples=self.n)
+        integ = _AO(ip.find_one_int("nsamples", 16))
+    elif iname == "normal":
+        from ..integrators import normal as n_mod
+
+        class _N:
+            def li(self, ctx, ray, lanes, sampler, dims):
+                return n_mod.li(ctx, ray, lanes, sampler, dims)
+        integ = _N()
+    else:
+        log.warning("integrator %r unknown; using path", iname)
+        from ..integrators.path import PathIntegrator
+        integ = PathIntegrator(mat_set=ms, max_depth=5)
+
+    return SceneBundle(
+        geom=geom, lights=lights, material_set=ms,
+        textures=api.textures.pytree(), camera=camera, film=film,
+        sampler=sampler, integrator=integ, integrator_name=iname,
+        filename=film.filename)

@@ -1,0 +1,385 @@
+"""Light tables and batched light sampling (NEE side of MIS).
+
+Reference: rustracer-core/src/light/{mod,point,distant,diffuse,infinite}.rs.
+All lights live in one SoA table; sample_li / pdf_li evaluate every present
+light *type* masked (type codes are data, the set of present types is
+static). Area lights reference a primitive in the geometry tables; the
+infinite light carries an equal-area env map + 2D CDF tables.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.math import (INFINITY, PI, absdot, cross, dot, distance_squared,
+                         normalize, spherical_phi, spherical_theta)
+from ..core.sampling import (Distribution1D, Distribution2D,
+                             concentric_sample_disk, uniform_sample_sphere)
+from ..core.transform import xform_point, xform_vector
+from ..ops.quadrics import CYLINDER, DISK, SPHERE, quadric_area
+from ..ops.triangle import triangle_area, triangle_sample
+from ..ops.mipmap import bilerp_level, WRAP_REPEAT
+
+LIGHT_POINT, LIGHT_DISTANT, LIGHT_AREA, LIGHT_INFINITE = 0, 1, 2, 3
+
+
+class LightTables(NamedTuple):
+    l_type: jnp.ndarray       # (L,) int32 (-1 = dummy)
+    l_pos: jnp.ndarray        # (L, 3) point: position; distant: w_light
+    l_emit: jnp.ndarray       # (L, 3) I / L / emitted radiance / inf scale
+    l_prim: jnp.ndarray       # (L,) int32 global prim id (area lights)
+    l_twosided: jnp.ndarray   # (L,) bool
+    world_center: jnp.ndarray  # (3,)
+    world_radius: jnp.ndarray  # ()
+    # single infinite light (height-1 map = absent)
+    inf_map: jnp.ndarray      # (H, W, 3)
+    inf_l2w: jnp.ndarray      # (4, 4)
+    inf_w2l: jnp.ndarray      # (4, 4)
+    inf_dist: Distribution2D
+
+    @property
+    def n_lights(self):
+        return self.l_type.shape[0]
+
+    @property
+    def has_lights(self):
+        return True  # table always padded to >= 1; dummy rows emit nothing
+
+    @property
+    def has_infinite(self):
+        return self.inf_map.shape[0] > 1
+
+
+def make_lights(rows=None, world_center=(0, 0, 0), world_radius=100.0,
+                inf_map=None, inf_l2w=None, inf_scale=None) -> LightTables:
+    """Host-side assembly. rows: list of dicts with keys
+    (type, pos, emit, prim, twosided)."""
+    rows = rows or []
+    if inf_map is not None:
+        rows = rows + [dict(type=LIGHT_INFINITE, pos=(0, 0, 0),
+                            emit=inf_scale if inf_scale is not None else (1, 1, 1),
+                            prim=-1, twosided=False)]
+    if not rows:
+        rows = [dict(type=-1, pos=(0, 0, 0), emit=(0, 0, 0), prim=-1,
+                     twosided=False)]
+    l_type = np.array([r["type"] for r in rows], np.int32)
+    l_pos = np.array([r["pos"] for r in rows], np.float32)
+    l_emit = np.array([r["emit"] for r in rows], np.float32)
+    l_prim = np.array([r.get("prim", -1) for r in rows], np.int32)
+    l_two = np.array([r.get("twosided", False) for r in rows], bool)
+
+    if inf_map is None:
+        inf_map = np.zeros((1, 1, 3), np.float32)
+        inf_l2w = np.eye(4, dtype=np.float32)
+        inf_w2l = np.eye(4, dtype=np.float32)
+        dist = Distribution2D.create(jnp.ones((1, 1), jnp.float32))
+    else:
+        inf_map = np.asarray(inf_map, np.float32)
+        if inf_l2w is None:
+            inf_l2w = np.eye(4, dtype=np.float32)
+            inf_w2l = np.eye(4, dtype=np.float32)
+        else:
+            inf_w2l = np.linalg.inv(inf_l2w.astype(np.float64)).astype(np.float32)
+        # importance image: luminance x sin(theta) (infinite.rs:84-94)
+        h, w = inf_map.shape[:2]
+        lum = inf_map @ np.array([0.212671, 0.715160, 0.072169], np.float32)
+        sin_theta = np.sin(np.pi * (np.arange(h) + 0.5) / h).astype(np.float32)
+        dist = Distribution2D.create(jnp.asarray(lum * sin_theta[:, None]))
+
+    return LightTables(
+        l_type=jnp.asarray(l_type), l_pos=jnp.asarray(l_pos),
+        l_emit=jnp.asarray(l_emit), l_prim=jnp.asarray(l_prim),
+        l_twosided=jnp.asarray(l_two),
+        world_center=jnp.asarray(world_center, jnp.float32),
+        world_radius=jnp.asarray(world_radius, jnp.float32),
+        inf_map=jnp.asarray(inf_map), inf_l2w=jnp.asarray(inf_l2w),
+        inf_w2l=jnp.asarray(inf_w2l), inf_dist=dist,
+    )
+
+
+def is_delta_light(l_type):
+    return (l_type == LIGHT_POINT) | (l_type == LIGHT_DISTANT)
+
+
+# ---------------------------------------------------------------------------
+# area-light shape sampling over geometry tables
+# ---------------------------------------------------------------------------
+
+def _sample_prim(geom, prim, u):
+    """Uniform-area sample on global primitive `prim` (quadric or triangle).
+    Returns (p, ng, p_error, area). Reference shapes/*::sample."""
+    nq = geom.n_quadrics
+    is_tri = prim >= nq
+    qid = jnp.clip(jnp.where(is_tri, 0, prim), 0, nq - 1)
+    tid = jnp.clip(jnp.where(is_tri, prim - nq, 0), 0, geom.n_triangles - 1)
+
+    # triangle
+    idx = geom.t_idx[tid]
+    p0 = geom.tv_p[idx[..., 0]]
+    p1 = geom.tv_p[idx[..., 1]]
+    p2 = geom.tv_p[idx[..., 2]]
+    tp, tn, terr = triangle_sample(u, p0, p1, p2)
+    tn = jnp.where(geom.t_reverse[tid][..., None], -tn, tn)
+    t_area = triangle_area(p0, p1, p2)
+
+    # quadric (object-space sample -> world)
+    q_type = geom.q_type[qid]
+    q_params = geom.q_params[qid]
+    o2w = geom.q_o2w[qid]
+    w2o = geom.q_w2o[qid]
+    radius = q_params[..., 0]
+    # sphere: uniform over full sphere (area lights with partial spheres are
+    # rare; pdf uses the matching full area)
+    sp_dir = uniform_sample_sphere(u)
+    sp_obj = radius[..., None] * sp_dir
+    sp_n_obj = sp_dir
+    # disk: params [height, radius, inner_radius, phimax]
+    d_xy = concentric_sample_disk(u) * q_params[..., 1, None]
+    dk_obj = jnp.concatenate(
+        [d_xy, jnp.broadcast_to(q_params[..., 0, None], d_xy[..., :1].shape)], -1)
+    dk_n_obj = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), sp_obj.shape)
+    # cylinder: z in [z0,z1], phi in [0,phimax]
+    z = q_params[..., 1] + u[..., 0] * (q_params[..., 2] - q_params[..., 1])
+    phi = u[..., 1] * q_params[..., 3]
+    cy_obj = jnp.stack([radius * jnp.cos(phi), radius * jnp.sin(phi), z], -1)
+    cy_n_obj = jnp.stack([jnp.cos(phi), jnp.sin(phi), jnp.zeros_like(phi)], -1)
+
+    obj = jnp.where((q_type == SPHERE)[..., None], sp_obj,
+                    jnp.where((q_type == CYLINDER)[..., None], cy_obj, dk_obj))
+    n_obj = jnp.where((q_type == SPHERE)[..., None], sp_n_obj,
+                      jnp.where((q_type == CYLINDER)[..., None], cy_n_obj,
+                                dk_n_obj))
+    qp = xform_point(o2w, obj)
+    from ..core.transform import xform_normal
+    qn = normalize(xform_normal(w2o, n_obj))
+    qn = jnp.where(geom.q_reverse[qid][..., None], -qn, qn)
+    # sphere area uses full sphere (4 pi r^2) to match uniform_sample_sphere
+    q_area = jnp.where(q_type == SPHERE, 4.0 * PI * radius * radius,
+                       quadric_area(q_type, q_params))
+    q_err = jnp.abs(qp) * 1e-5 + 1e-6
+
+    p = jnp.where(is_tri[..., None], tp, qp)
+    n = jnp.where(is_tri[..., None], tn, qn)
+    err = jnp.where(is_tri[..., None], terr, q_err)
+    area = jnp.where(is_tri, t_area, q_area)
+    return p, n, err, area
+
+
+def prim_area(geom, prim):
+    nq = geom.n_quadrics
+    is_tri = prim >= nq
+    qid = jnp.clip(jnp.where(is_tri, 0, prim), 0, nq - 1)
+    tid = jnp.clip(jnp.where(is_tri, prim - nq, 0), 0, geom.n_triangles - 1)
+    idx = geom.t_idx[tid]
+    t_area = triangle_area(geom.tv_p[idx[..., 0]], geom.tv_p[idx[..., 1]],
+                           geom.tv_p[idx[..., 2]])
+    q_type = geom.q_type[qid]
+    q_params = geom.q_params[qid]
+    q_area = jnp.where(q_type == SPHERE,
+                       4.0 * PI * q_params[..., 0] ** 2,
+                       quadric_area(q_type, q_params))
+    return jnp.where(is_tri, t_area, q_area)
+
+
+# ---------------------------------------------------------------------------
+# sample_li / pdf_li / Le
+# ---------------------------------------------------------------------------
+
+class LightSample(NamedTuple):
+    wi: jnp.ndarray        # (B, 3)
+    li: jnp.ndarray        # (B, 3)
+    pdf: jnp.ndarray       # (B,) solid-angle pdf
+    p_target: jnp.ndarray  # (B, 3) point for the shadow ray
+    n_target: jnp.ndarray  # (B, 3)
+    err_target: jnp.ndarray  # (B, 3)
+    is_delta: jnp.ndarray  # (B,)
+    at_infinity: jnp.ndarray  # (B,) shadow ray is a direction probe
+
+
+def _inf_uv_to_dir(lt, uv):
+    theta = uv[..., 1] * PI
+    phi = uv[..., 0] * 2.0 * PI
+    st, ct = jnp.sin(theta), jnp.cos(theta)
+    w_l = jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi), ct], axis=-1)
+    return xform_vector(lt.inf_l2w, w_l), st
+
+
+def _inf_dir_to_uv(lt, w):
+    w_l = normalize(xform_vector(lt.inf_w2l, w))
+    theta = spherical_theta(w_l)
+    phi = spherical_phi(w_l)
+    return jnp.stack([phi / (2.0 * PI), theta / PI], axis=-1), jnp.sin(theta)
+
+
+def infinite_le(lt: LightTables, d):
+    """Radiance for escaped rays (infinite.rs le())."""
+    if not lt.has_infinite:
+        return jnp.zeros(d.shape[:-1] + (3,), jnp.float32)
+    uv, _ = _inf_dir_to_uv(lt, d)
+    # the emit scale of the infinite row
+    inf_rows = lt.l_type == LIGHT_INFINITE
+    scale = jnp.sum(jnp.where(inf_rows[:, None], lt.l_emit, 0.0), axis=0)
+    return bilerp_level(lt.inf_map, uv, WRAP_REPEAT) * scale
+
+
+def sample_li(lt: LightTables, geom, lid, si, u) -> LightSample:
+    """Sample incident direction from light `lid` (per-lane int32) seen from
+    si.p. All four light types evaluated masked."""
+    ltype = lt.l_type[lid]
+    pos = lt.l_pos[lid]
+    emit = lt.l_emit[lid]
+    p = si.p
+    B = si.t.shape
+
+    # point (point.rs:13-71)
+    d_pt = pos - p
+    dist2_pt = jnp.maximum(jnp.sum(d_pt * d_pt, -1), 1e-12)
+    wi_pt = d_pt * jax_rsqrt(dist2_pt)[..., None]
+    li_pt = emit / dist2_pt[..., None]
+
+    # distant (distant.rs:15-88): pos holds w_light
+    wi_di = pos
+    li_di = emit
+    p_di = p + wi_di * (2.0 * lt.world_radius)
+
+    # area (diffuse.rs:12-98): uniform-area shape sample
+    prim = lt.l_prim[lid]
+    p_a, n_a, err_a, area = _sample_prim(geom, prim, u)
+    d_a = p_a - p
+    dist2_a = jnp.maximum(jnp.sum(d_a * d_a, -1), 1e-12)
+    wi_a = d_a * jax_rsqrt(dist2_a)[..., None]
+    cos_l = dot(n_a, -wi_a)
+    two = lt.l_twosided[lid]
+    facing = jnp.where(two, jnp.abs(cos_l) > 1e-7, cos_l > 1e-7)
+    li_a = jnp.where(facing[..., None], emit, 0.0)
+    pdf_a = dist2_a / jnp.maximum(jnp.abs(cos_l) * area, 1e-12)
+    pdf_a = jnp.where(facing, pdf_a, 0.0)
+
+    # infinite (infinite.rs:35-220)
+    if lt.has_infinite:
+        uv_s, map_pdf = lt.inf_dist.sample_continuous(u)
+        wi_inf, sin_t = _inf_uv_to_dir(lt, uv_s)
+        pdf_inf = map_pdf / jnp.maximum(2.0 * PI * PI * sin_t, 1e-9)
+        pdf_inf = jnp.where(sin_t > 1e-7, pdf_inf, 0.0)
+        li_inf = bilerp_level(lt.inf_map, uv_s, WRAP_REPEAT) * emit
+        p_inf = p + wi_inf * (2.0 * lt.world_radius)
+    else:
+        wi_inf = wi_pt
+        pdf_inf = jnp.zeros(B)
+        li_inf = jnp.zeros(B + (3,))
+        p_inf = p_di
+
+    def pick(pt, di, ar, inf):
+        def w(c, a, b):
+            if a.ndim > len(B):
+                c = c[..., None]
+            return jnp.where(c, a, b)
+        out = w(ltype == LIGHT_POINT, pt, jnp.zeros_like(pt))
+        out = w(ltype == LIGHT_DISTANT, di, out)
+        out = w(ltype == LIGHT_AREA, ar, out)
+        out = w(ltype == LIGHT_INFINITE, inf, out)
+        return out
+
+    ones = jnp.ones(B)
+    wi = pick(wi_pt, wi_di, wi_a, wi_inf)
+    li = pick(li_pt, li_di, li_a, li_inf)
+    pdf = pick(ones, ones, pdf_a, pdf_inf)
+    p_t = pick(pos, p_di, p_a, p_inf)
+    n_t = pick(-wi_pt, -wi_di, n_a, -wi_inf)
+    err_t = pick(jnp.zeros(B + (3,)), jnp.zeros(B + (3,)), err_a,
+                 jnp.zeros(B + (3,)))
+    delta = is_delta_light(ltype)
+    at_inf = (ltype == LIGHT_DISTANT) | (ltype == LIGHT_INFINITE)
+    # dummy rows (-1) emit nothing
+    li = jnp.where((ltype >= 0)[..., None], li, 0.0)
+    pdf = jnp.where(ltype >= 0, pdf, 0.0)
+    return LightSample(wi=wi, li=li, pdf=pdf, p_target=p_t, n_target=n_t,
+                       err_target=err_t, is_delta=delta, at_infinity=at_inf)
+
+
+def jax_rsqrt(x):
+    import jax
+    return jax.lax.rsqrt(jnp.maximum(x, 1e-20))
+
+
+def pdf_li(lt: LightTables, geom, lid, si, wi):
+    """Solid-angle pdf of sample_li for direction wi (light/mod.rs pdf_li) —
+    used on the BSDF-sampling side of MIS."""
+    ltype = lt.l_type[lid]
+    B = si.t.shape
+    pdf = jnp.zeros(B)
+
+    # area: intersect the light prim with ray (p, wi)
+    prim = lt.l_prim[lid]
+    nq = geom.n_quadrics
+    is_tri = prim >= nq
+    qid = jnp.clip(jnp.where(is_tri, 0, prim), 0, nq - 1)
+    tid = jnp.clip(jnp.where(is_tri, prim - nq, 0), 0, geom.n_triangles - 1)
+    from ..core.ray import Ray
+    from ..ops.triangle import triangle_intersect
+    from ..ops.quadrics import quadric_intersect
+    ray_o = si.p + wi * 1e-4
+    t_max = jnp.full(B, INFINITY)
+    idx = geom.t_idx[tid]
+    p0 = geom.tv_p[idx[..., 0]]
+    p1 = geom.tv_p[idx[..., 1]]
+    p2 = geom.tv_p[idx[..., 2]]
+    th = triangle_intersect(ray_o, wi, t_max, p0, p1, p2)
+    t_ng = normalize(cross(p0 - p2, p1 - p2))
+    o_obj = xform_point(geom.q_w2o[qid], ray_o)
+    d_obj = xform_vector(geom.q_w2o[qid], wi)
+    qh = quadric_intersect(geom.q_type[qid], o_obj, d_obj, t_max,
+                           geom.q_params[qid])
+    q_n = normalize(xform_vector(geom.q_o2w[qid], jnp.cross(qh.dpdu, qh.dpdv)))
+    hit = jnp.where(is_tri, th.hit, qh.hit)
+    t_hit = jnp.where(is_tri, th.t, qh.t)
+    n_l = jnp.where(is_tri[..., None], t_ng, q_n)
+    area = prim_area(geom, prim)
+    p_hit = ray_o + t_hit[..., None] * wi
+    dist2 = distance_squared(si.p, p_hit)
+    cos_l = absdot(n_l, wi)
+    pdf_area_lights = jnp.where(hit & (cos_l > 1e-7),
+                                dist2 / jnp.maximum(cos_l * area, 1e-12), 0.0)
+    pdf = jnp.where(ltype == LIGHT_AREA, pdf_area_lights, pdf)
+
+    if lt.has_infinite:
+        uv, sin_t = _inf_dir_to_uv(lt, wi)
+        p_inf = lt.inf_dist.pdf(uv) / jnp.maximum(2.0 * PI * PI * sin_t, 1e-9)
+        p_inf = jnp.where(sin_t > 1e-7, p_inf, 0.0)
+        pdf = jnp.where(ltype == LIGHT_INFINITE, p_inf, pdf)
+    return pdf
+
+
+def arealight_le(lt: LightTables, arealight_id, n, w):
+    """Emitted radiance from an area light's surface toward w
+    (diffuse.rs l())."""
+    lid = jnp.clip(arealight_id, 0, lt.n_lights - 1)
+    emit = lt.l_emit[lid]
+    two = lt.l_twosided[lid]
+    ok = (arealight_id >= 0) & (jnp.where(two, jnp.ones_like(two),
+                                          dot(n, w) > 0.0))
+    return jnp.where(ok[..., None], emit, 0.0)
+
+
+def light_power(lt: LightTables, geom):
+    """Approximate total power per light (light/*::power) for the power
+    light-sampling distribution."""
+    area = prim_area(geom, lt.l_prim)
+    lum = jnp.sum(lt.l_emit * jnp.asarray([0.212671, 0.715160, 0.072169]), -1)
+    pw_point = 4.0 * PI * lum
+    pw_dist = PI * lt.world_radius ** 2 * lum
+    pw_area = lum * area * PI * jnp.where(lt.l_twosided, 2.0, 1.0)
+    if lt.has_infinite:
+        avg = jnp.mean(jnp.sum(lt.inf_map * jnp.asarray(
+            [0.212671, 0.715160, 0.072169]), -1))
+        pw_inf = PI * lt.world_radius ** 2 * lum * avg
+    else:
+        pw_inf = jnp.zeros_like(lum)
+    pw = jnp.where(lt.l_type == LIGHT_POINT, pw_point,
+                   jnp.where(lt.l_type == LIGHT_DISTANT, pw_dist,
+                             jnp.where(lt.l_type == LIGHT_AREA, pw_area,
+                                       jnp.where(lt.l_type == LIGHT_INFINITE,
+                                                 pw_inf, 0.0))))
+    return pw

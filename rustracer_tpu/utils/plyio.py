@@ -1,0 +1,121 @@
+"""PLY mesh loader (ascii + binary little/big endian).
+
+Reference: rustracer-core/src/shapes/plymesh.rs:18-242 (via the ply-rs
+crate). Hand-rolled reader supporting the vertex properties the reference
+consumes: x/y/z, nx/ny/nz, u/v (or s/t), and triangle/quad face lists
+(quads split into two tris).
+"""
+from __future__ import annotations
+
+import struct
+from typing import Optional, Tuple
+
+import numpy as np
+
+_TYPE_MAP = {
+    "char": "i1", "int8": "i1",
+    "uchar": "u1", "uint8": "u1",
+    "short": "i2", "int16": "i2",
+    "ushort": "u2", "uint16": "u2",
+    "int": "i4", "int32": "i4",
+    "uint": "u4", "uint32": "u4",
+    "float": "f4", "float32": "f4",
+    "double": "f8", "float64": "f8",
+}
+
+
+def read_ply(path: str) -> Tuple[np.ndarray, Optional[np.ndarray],
+                                 Optional[np.ndarray], np.ndarray]:
+    """→ (positions (V,3), normals (V,3) | None, uv (V,2) | None,
+    indices (T,3) int32)."""
+    with open(path, "rb") as f:
+        magic = f.readline().strip()
+        if magic != b"ply":
+            raise ValueError(f"{path}: not a PLY file")
+        fmt = None
+        elements = []   # (name, count, [(prop_name, dtype, is_list, idx_t, cnt_t)])
+        while True:
+            line = f.readline()
+            if not line:
+                raise ValueError("unexpected EOF in PLY header")
+            parts = line.decode("ascii", "replace").strip().split()
+            if not parts:
+                continue
+            if parts[0] == "comment":
+                continue
+            if parts[0] == "format":
+                fmt = parts[1]
+            elif parts[0] == "element":
+                elements.append((parts[1], int(parts[2]), []))
+            elif parts[0] == "property":
+                if parts[1] == "list":
+                    elements[-1][2].append(
+                        (parts[4], None, True, _TYPE_MAP[parts[2]],
+                         _TYPE_MAP[parts[3]]))
+                else:
+                    elements[-1][2].append(
+                        (parts[2], _TYPE_MAP[parts[1]], False, None, None))
+            elif parts[0] == "end_header":
+                break
+
+        endian = {"binary_little_endian": "<", "binary_big_endian": ">"}.get(fmt)
+        verts = {}
+        faces = []
+        for name, count, props in elements:
+            if fmt == "ascii":
+                rows = []
+                for _ in range(count):
+                    rows.append(f.readline().split())
+                if name == "vertex":
+                    arr = np.array([[float(x) for x in r[:len(props)]]
+                                    for r in rows], np.float32)
+                    for i, (pname, *_rest) in enumerate(props):
+                        verts[pname] = arr[:, i]
+                elif name == "face":
+                    for r in rows:
+                        n = int(r[0])
+                        faces.append([int(x) for x in r[1:1 + n]])
+            else:
+                if not any(p[2] for p in props):
+                    # fixed-size element: bulk read
+                    dt = np.dtype([(p[0], endian + p[1]) for p in props])
+                    data = np.frombuffer(f.read(dt.itemsize * count), dtype=dt)
+                    if name == "vertex":
+                        for p in props:
+                            verts[p[0]] = data[p[0]].astype(np.float32)
+                else:
+                    # list properties (faces): per-row read
+                    for _ in range(count):
+                        row_vals = []
+                        for pname, dtype, is_list, idx_t, cnt_t in props:
+                            if is_list:
+                                cdt = np.dtype(endian + idx_t)
+                                n = int(np.frombuffer(f.read(cdt.itemsize),
+                                                      cdt)[0])
+                                vdt = np.dtype(endian + cnt_t)
+                                vals = np.frombuffer(f.read(vdt.itemsize * n),
+                                                     vdt)
+                                row_vals.append(vals)
+                            else:
+                                vdt = np.dtype(endian + dtype)
+                                row_vals.append(
+                                    np.frombuffer(f.read(vdt.itemsize), vdt)[0])
+                        if name == "face":
+                            faces.append(list(row_vals[0]))
+
+    if not {"x", "y", "z"} <= verts.keys():
+        raise ValueError(f"{path}: PLY has no x/y/z vertex positions")
+    p = np.stack([verts["x"], verts["y"], verts["z"]], -1).astype(np.float32)
+    n = None
+    if {"nx", "ny", "nz"} <= verts.keys():
+        n = np.stack([verts["nx"], verts["ny"], verts["nz"]], -1).astype(np.float32)
+    uv = None
+    for ukey, vkey in (("u", "v"), ("s", "t"), ("texture_u", "texture_v")):
+        if {ukey, vkey} <= verts.keys():
+            uv = np.stack([verts[ukey], verts[vkey]], -1).astype(np.float32)
+            break
+    idx = []
+    for face in faces:
+        for k in range(1, len(face) - 1):   # fan-triangulate
+            idx.append((face[0], face[k], face[k + 1]))
+    return p, n, uv, np.asarray(idx, np.int32).reshape(-1, 3)
