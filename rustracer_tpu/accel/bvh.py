@@ -1,0 +1,186 @@
+"""Host-side BVH construction → flattened node arrays.
+
+Reference: rustracer-core/src/bvh/mod.rs — BVHPrimitiveInfo centroids
+(88-93), top-down build with Middle / 12-bucket SAH splits (202-287), and
+flattening to a LinearBVHNode array with second_child_offset (314-358).
+
+The build runs on host (numpy, iterative with an explicit stack, vectorized
+bucket binning per node). The BVH covers TRIANGLES only — quadric counts are
+tiny and stay brute-force (scene/tables.py), which keeps the traversal
+kernel's per-leaf test homogeneous (pure watertight triangle tests).
+
+Flattened layout (device arrays):
+  bvh_lo/bvh_hi: (N, 3) node AABBs
+  bvh_meta:      (N, 3) int32 [leaf: prim_offset, n_prims, axis]
+                        [interior: second_child_offset, 0, axis]
+  bvh_prims:     (P,) int32 triangle ids in leaf order
+"""
+from __future__ import annotations
+
+import numpy as np
+
+N_BUCKETS = 12
+TRAVERSAL_COST = 1.0
+INTERSECT_COST = 1.0
+
+
+def triangle_bounds(tv_p, t_idx):
+    p0 = tv_p[t_idx[:, 0]]
+    p1 = tv_p[t_idx[:, 1]]
+    p2 = tv_p[t_idx[:, 2]]
+    lo = np.minimum(np.minimum(p0, p1), p2)
+    hi = np.maximum(np.maximum(p0, p1), p2)
+    return lo, hi
+
+
+def build_bvh(lo, hi, split_method="sah", max_prims=4):
+    """Build over primitive AABBs → (nodes_lo, nodes_hi, meta, prim_order)."""
+    n = lo.shape[0]
+    centroids = 0.5 * (lo + hi)
+    order = np.arange(n)
+
+    # output arrays, grown geometrically
+    cap = max(2 * n, 16)
+    nodes_lo = np.zeros((cap, 3), np.float32)
+    nodes_hi = np.zeros((cap, 3), np.float32)
+    meta = np.zeros((cap, 3), np.int32)
+    n_nodes = 0
+    prim_out = []
+
+    def alloc():
+        nonlocal n_nodes, cap, nodes_lo, nodes_hi, meta
+        if n_nodes >= cap:
+            cap *= 2
+            nodes_lo = np.resize(nodes_lo, (cap, 3))
+            nodes_hi = np.resize(nodes_hi, (cap, 3))
+            meta = np.resize(meta, (cap, 3))
+        i = n_nodes
+        n_nodes += 1
+        return i
+
+    # stack entries: (node_idx, start, end) over `order`; parent linkage is
+    # resolved with a second pass storing (parent, is_second) per node
+    # Simpler: recursive via explicit stack emitting nodes in DFS order so
+    # that child1 = node+1 and child2 offset is patched after child1 subtree.
+    def emit(start, end):
+        """DFS-emit subtree over order[start:end]; returns node index."""
+        idx = alloc()
+        sl = order[start:end]
+        b_lo = lo[sl].min(0)
+        b_hi = hi[sl].max(0)
+        nodes_lo[idx] = b_lo
+        nodes_hi[idx] = b_hi
+        count = end - start
+
+        def make_leaf():
+            # hard cap: the traversal kernel statically unrolls max_prims
+            # tests per leaf, so degenerate splits chain into a subtree
+            if count > max_prims:
+                mid = count // 2
+                emit(start, start + mid)
+                c2 = emit(start + mid, end)
+                meta[idx] = (c2, 0, 0)
+                return idx
+            off = len(prim_out)
+            prim_out.extend(sl.tolist())
+            meta[idx] = (off, count, 0)
+            return idx
+
+        if count <= 1:
+            return make_leaf()
+        c = centroids[sl]
+        c_lo = c.min(0)
+        c_hi = c.max(0)
+        dim = int(np.argmax(c_hi - c_lo))
+        if c_hi[dim] - c_lo[dim] < 1e-12:
+            return make_leaf()
+
+        if split_method == "middle":
+            pmid = 0.5 * (c_lo[dim] + c_hi[dim])
+            mask = c[:, dim] < pmid
+            mid = int(mask.sum())
+            if mid == 0 or mid == count:
+                # fall back to equal-counts (bvh/mod.rs:183-199)
+                ordr = np.argsort(c[:, dim], kind="stable")
+                order[start:end] = sl[ordr]
+                mid = count // 2
+            else:
+                order[start:end] = np.concatenate([sl[mask], sl[~mask]])
+        else:  # sah (bvh/mod.rs:202-287) with equal-counts for tiny nodes
+            if count <= 2:
+                ordr = np.argsort(c[:, dim], kind="stable")
+                order[start:end] = sl[ordr]
+                mid = count // 2
+            else:
+                extent = c_hi[dim] - c_lo[dim]
+                b = np.minimum((N_BUCKETS * (c[:, dim] - c_lo[dim]) /
+                                extent).astype(np.int32), N_BUCKETS - 1)
+                # per-bucket bounds + counts (vectorized)
+                cnt = np.bincount(b, minlength=N_BUCKETS)
+                blo = np.full((N_BUCKETS, 3), np.inf, np.float32)
+                bhi = np.full((N_BUCKETS, 3), -np.inf, np.float32)
+                np.minimum.at(blo, b, lo[sl])
+                np.maximum.at(bhi, b, hi[sl])
+                # prefix/suffix areas
+                def area(l, h):
+                    d = np.maximum(h - l, 0.0)
+                    return 2.0 * (d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2]
+                                  + d[:, 2] * d[:, 0])
+                pre_lo = np.minimum.accumulate(blo, 0)
+                pre_hi = np.maximum.accumulate(bhi, 0)
+                suf_lo = np.minimum.accumulate(blo[::-1], 0)[::-1]
+                suf_hi = np.maximum.accumulate(bhi[::-1], 0)[::-1]
+                cnt_pre = np.cumsum(cnt)
+                cnt_suf = np.cumsum(cnt[::-1])[::-1]
+                cost = np.full(N_BUCKETS - 1, np.inf, np.float32)
+                d_node = np.maximum(b_hi - b_lo, 0.0)
+                sa_node = max(2.0 * (d_node[0] * d_node[1] + d_node[1] * d_node[2]
+                                     + d_node[2] * d_node[0]), 1e-20)
+                a0 = area(pre_lo[:-1], pre_hi[:-1])
+                a1 = area(suf_lo[1:], suf_hi[1:])
+                valid = (cnt_pre[:-1] > 0) & (cnt_suf[1:] > 0)
+                cost[valid] = TRAVERSAL_COST + INTERSECT_COST * (
+                    cnt_pre[:-1][valid] * a0[valid]
+                    + cnt_suf[1:][valid] * a1[valid]) / sa_node
+                best = int(np.argmin(cost))
+                leaf_cost = INTERSECT_COST * count
+                if count > max_prims or cost[best] < leaf_cost:
+                    mask = b <= best
+                    mid = int(mask.sum())
+                    if mid == 0 or mid == count:
+                        return make_leaf()
+                    order[start:end] = np.concatenate([sl[mask], sl[~mask]])
+                else:
+                    return make_leaf()
+
+        # interior node: emit children (DFS — child1 follows immediately)
+        emit(start, start + mid)
+        c2 = emit(start + mid, end)
+        meta[idx] = (c2, 0, dim)
+        return idx
+
+    import sys
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, 10000 + 2 * int(np.log2(n + 1)) * 64))
+    try:
+        emit(0, n)
+    finally:
+        sys.setrecursionlimit(old_limit)
+    return (nodes_lo[:n_nodes].copy(), nodes_hi[:n_nodes].copy(),
+            meta[:n_nodes].copy(), np.asarray(prim_out, np.int32))
+
+
+def build_bvh_arrays(quad, tris, split_method="sah", max_prims=4):
+    """→ dict of bvh_* arrays for make_geometry. Triangle-only BVH;
+    returns None-equivalent (no dict) when there are no triangles."""
+    if tris is None or len(tris["t_idx"]) == 0:
+        return None
+    if split_method not in ("sah", "middle"):
+        # reference supports sah/middle; hlbvh/equal fall back to sah
+        split_method = "sah"
+    # the traversal kernel statically unrolls 4 tests per leaf
+    max_prims = min(max_prims, 4)
+    lo, hi = triangle_bounds(tris["tv_p"], tris["t_idx"])
+    nodes_lo, nodes_hi, meta, prims = build_bvh(lo, hi, split_method, max_prims)
+    return dict(bvh_lo=nodes_lo, bvh_hi=nodes_hi, bvh_meta=meta,
+                bvh_prims=prims)

@@ -153,27 +153,34 @@ def intersect_triangles_brute(tables: GeometryTables, ray: Ray):
 
 
 def scene_intersect(tables: GeometryTables, ray: Ray) -> Interaction:
-    """Closest-hit over the whole scene → full SurfaceInteraction batch."""
+    """Closest-hit over the whole scene → full SurfaceInteraction batch.
+
+    Triangles go through the BVH when present (accel/traverse.py); quadric
+    counts are tiny and stay brute-force either way."""
     nq = tables.n_quadrics
+    qhit, qt, qid = intersect_quadrics_all(tables, ray)
     if tables.has_bvh:
-        from ..accel.traverse import bvh_intersect
-        hit, t, prim = bvh_intersect(tables, ray)
+        from ..accel.traverse import bvh_intersect_triangles
+        # tighten t_max with the quadric hit before traversal
+        ray_t = ray._replace(t_max=jnp.where(qhit, qt, ray.t_max))
+        thit, tt, tid = bvh_intersect_triangles(tables, ray_t)
     else:
-        qhit, qt, qid = intersect_quadrics_all(tables, ray)
         thit, tt, tid = intersect_triangles_brute(tables, ray)
-        use_tri = thit & (~qhit | (tt < qt))
-        hit = qhit | thit
-        t = jnp.where(use_tri, tt, qt)
-        prim = jnp.where(use_tri, tid + nq, qid)
+    use_tri = thit & (~qhit | (tt < qt))
+    hit = qhit | thit
+    t = jnp.where(use_tri, tt, qt)
+    prim = jnp.where(use_tri, tid + nq, qid)
     return build_interaction(tables, ray, hit, t, prim)
 
 
 def scene_intersect_p(tables: GeometryTables, ray: Ray):
     """Any-hit (shadow) test: returns (...) bool occluded."""
-    if tables.has_bvh:
-        from ..accel.traverse import bvh_intersect_p
-        return bvh_intersect_p(tables, ray)
     qhit, _, _ = intersect_quadrics_all(tables, ray)
+    if tables.has_bvh:
+        from ..accel.traverse import bvh_intersect_p_triangles
+        thit = bvh_intersect_p_triangles(tables, ray._replace(
+            t_max=jnp.where(qhit, jnp.zeros_like(ray.t_max), ray.t_max)))
+        return qhit | thit
     thit, _, _ = intersect_triangles_brute(tables, ray)
     return qhit | thit
 
