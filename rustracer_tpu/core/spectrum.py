@@ -75,12 +75,21 @@ _RGB_TO_XYZ = np.array([
     [0.019334, 0.119193, 0.950227]], dtype=np.float32)
 
 
+def _mat3_apply(mat, v):
+    # scalar-unrolled (no dot_general — see core/transform.py note)
+    m = jnp.asarray(mat)
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    return jnp.stack([m[0, 0] * x + m[0, 1] * y + m[0, 2] * z,
+                      m[1, 0] * x + m[1, 1] * y + m[1, 2] * z,
+                      m[2, 0] * x + m[2, 1] * y + m[2, 2] * z], axis=-1)
+
+
 def xyz_to_rgb(xyz):
-    return jnp.einsum("ij,...j->...i", jnp.asarray(_XYZ_TO_RGB), xyz)
+    return _mat3_apply(_XYZ_TO_RGB, xyz)
 
 
 def rgb_to_xyz(rgb):
-    return jnp.einsum("ij,...j->...i", jnp.asarray(_RGB_TO_XYZ), rgb)
+    return _mat3_apply(_RGB_TO_XYZ, rgb)
 
 
 def xyz_to_rgb_np(xyz):

@@ -161,20 +161,43 @@ class Transform:
 
 
 # --- device-side batched apply (jnp; matrices (..., 4, 4) or (4, 4)) ---
+#
+# NOTE: deliberately scalar-unrolled (no einsum/dot_general). Tiny-matrix
+# dot_generals fused between elementwise stages crash or stall the XLA TPU
+# fusion pass (SIGILL in TpuPriorityFusionQueue); the unrolled mul/add form
+# compiles instantly, fuses cleanly, and is exactly the same FLOPs on the VPU.
+
+def apply_mat3(m, x, y, z):
+    """Rows of m[..., :3, :3] applied to (x, y, z) components."""
+    rx = m[..., 0, 0] * x + m[..., 0, 1] * y + m[..., 0, 2] * z
+    ry = m[..., 1, 0] * x + m[..., 1, 1] * y + m[..., 1, 2] * z
+    rz = m[..., 2, 0] * x + m[..., 2, 1] * y + m[..., 2, 2] * z
+    return rx, ry, rz
+
 
 def xform_point(m, p):
-    r = jnp.einsum("...ij,...j->...i", m[..., :3, :3], p) + m[..., :3, 3]
-    w = jnp.einsum("...j,...j->...", m[..., 3, :3], p) + m[..., 3, 3]
-    return r / w[..., None]
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    rx, ry, rz = apply_mat3(m, x, y, z)
+    rx = rx + m[..., 0, 3]
+    ry = ry + m[..., 1, 3]
+    rz = rz + m[..., 2, 3]
+    w = m[..., 3, 0] * x + m[..., 3, 1] * y + m[..., 3, 2] * z + m[..., 3, 3]
+    inv_w = 1.0 / w
+    return jnp.stack([rx * inv_w, ry * inv_w, rz * inv_w], axis=-1)
 
 
 def xform_vector(m, v):
-    return jnp.einsum("...ij,...j->...i", m[..., :3, :3], v)
+    rx, ry, rz = apply_mat3(m, v[..., 0], v[..., 1], v[..., 2])
+    return jnp.stack([rx, ry, rz], axis=-1)
 
 
 def xform_normal(m_inv, n):
     """Normals transform by the inverse transpose."""
-    return jnp.einsum("...ji,...j->...i", m_inv[..., :3, :3], n)
+    x, y, z = n[..., 0], n[..., 1], n[..., 2]
+    rx = m_inv[..., 0, 0] * x + m_inv[..., 1, 0] * y + m_inv[..., 2, 0] * z
+    ry = m_inv[..., 0, 1] * x + m_inv[..., 1, 1] * y + m_inv[..., 2, 1] * z
+    rz = m_inv[..., 0, 2] * x + m_inv[..., 1, 2] * y + m_inv[..., 2, 2] * z
+    return jnp.stack([rx, ry, rz], axis=-1)
 
 
 def xform_point_with_error(m, p):
@@ -185,6 +208,9 @@ def xform_point_with_error(m, p):
     """
     from .math import gamma
     r = xform_point(m, p)
-    abs_term = jnp.einsum("...ij,...j->...i", jnp.abs(m[..., :3, :3]), jnp.abs(p)) \
-        + jnp.abs(m[..., :3, 3])
+    am = jnp.abs(m)
+    ax, ay, az = jnp.abs(p[..., 0]), jnp.abs(p[..., 1]), jnp.abs(p[..., 2])
+    ex, ey, ez = apply_mat3(am, ax, ay, az)
+    abs_term = jnp.stack([ex + am[..., 0, 3], ey + am[..., 1, 3],
+                          ez + am[..., 2, 3]], axis=-1)
     return r, gamma(3) * abs_term

@@ -128,28 +128,64 @@ def _quadric_object_ray(tables, ray, qid=None):
 
 
 def intersect_quadrics_all(tables: GeometryTables, ray: Ray):
-    """Brute-force closest hit over all quadrics: returns (hit, t, qid)."""
-    o, d = _quadric_object_ray(tables, ray)
-    qh = quadric_intersect(tables.q_type, o, d, ray.t_max[..., None],
-                           tables.q_params)
-    t = jnp.where(qh.hit, qh.t, INFINITY)
-    qid = jnp.argmin(t, axis=-1).astype(jnp.int32)
-    t_best = jnp.min(t, axis=-1)
-    return jnp.isfinite(t_best), t_best, qid
+    """Brute-force closest hit over all quadrics: returns (hit, t, qid).
+
+    Implemented as a fori_loop over quadrics with elementwise best-tracking
+    instead of a (B, Q) broadcast + argmin: the XLA TPU fusion pass crashes
+    (SIGILL/SIGSEGV in TpuPriorityFusionQueue) or degenerates to minutes-long
+    compiles when a cross-Q reduce is fused into the intersection producers.
+    Quadric counts are small, so the sequential loop costs little.
+    """
+    nq = tables.n_quadrics
+
+    def body(i, carry):
+        t_best, qid = carry
+        o = xform_point(tables.q_w2o[i], ray.o)
+        d = xform_vector(tables.q_w2o[i], ray.d)
+        qh = quadric_intersect(tables.q_type[i], o, d, t_best,
+                               tables.q_params[i])
+        better = qh.hit & (qh.t < t_best)
+        return (jnp.where(better, qh.t, t_best),
+                jnp.where(better, i, qid))
+
+    t0 = ray.t_max
+    qid0 = jnp.full(ray.t_max.shape, -1, jnp.int32)
+    if nq <= 2:
+        t_best, qid = (t0, qid0)
+        for i in range(nq):
+            t_best, qid = body(i, (t_best, qid))
+    else:
+        t_best, qid = jax.lax.fori_loop(0, nq, body, (t0, qid0))
+    hit = qid >= 0
+    return hit, jnp.where(hit, t_best, INFINITY), jnp.maximum(qid, 0)
 
 
 def intersect_triangles_brute(tables: GeometryTables, ray: Ray):
-    """Brute-force closest hit over all triangles: (hit, t, tid)."""
-    idx = tables.t_idx                                # (T, 3)
-    p0 = tables.tv_p[idx[:, 0]]                       # (T, 3)
-    p1 = tables.tv_p[idx[:, 1]]
-    p2 = tables.tv_p[idx[:, 2]]
-    th = triangle_intersect(ray.o[..., None, :], ray.d[..., None, :],
-                            ray.t_max[..., None], p0, p1, p2)
-    t = jnp.where(th.hit, th.t, INFINITY)
-    tid = jnp.argmin(t, axis=-1).astype(jnp.int32)
-    t_best = jnp.min(t, axis=-1)
-    return jnp.isfinite(t_best), t_best, tid
+    """Brute-force closest hit over all triangles: (hit, t, tid).
+
+    fori_loop over triangles (same TPU-compiler rationale as the quadric
+    loop); only used for tiny scenes — meshes go through the BVH."""
+    nt = tables.n_triangles
+
+    def body(i, carry):
+        t_best, tid = carry
+        idx = tables.t_idx[i]
+        th = triangle_intersect(ray.o, ray.d, t_best, tables.tv_p[idx[0]],
+                                tables.tv_p[idx[1]], tables.tv_p[idx[2]])
+        better = th.hit & (th.t < t_best)
+        return (jnp.where(better, th.t, t_best),
+                jnp.where(better, i, tid))
+
+    t0 = ray.t_max
+    tid0 = jnp.full(ray.t_max.shape, -1, jnp.int32)
+    if nt <= 2:
+        t_best, tid = (t0, tid0)
+        for i in range(nt):
+            t_best, tid = body(i, (t_best, tid))
+    else:
+        t_best, tid = jax.lax.fori_loop(0, nt, body, (t0, tid0))
+    hit = tid >= 0
+    return hit, jnp.where(hit, t_best, INFINITY), jnp.maximum(tid, 0)
 
 
 def scene_intersect(tables: GeometryTables, ray: Ray) -> Interaction:
@@ -207,10 +243,14 @@ def build_interaction(tables: GeometryTables, ray: Ray, hit, t, prim) -> Interac
     q_p = xform_point(o2w, qh.p)
     # conservative world-space error: |M| * err + gamma3 * (|M||p| + |trans|)
     from ..core.math import gamma
-    absM = jnp.abs(o2w[..., :3, :3])
-    q_perr = jnp.einsum("...ij,...j->...i", absM, qh.p_error) + \
-        gamma(3) * (jnp.einsum("...ij,...j->...i", absM, jnp.abs(qh.p))
-                    + jnp.abs(o2w[..., :3, 3]))
+    from ..core.transform import apply_mat3
+    absM = jnp.abs(o2w)
+    e1 = jnp.stack(apply_mat3(absM, qh.p_error[..., 0], qh.p_error[..., 1],
+                              qh.p_error[..., 2]), axis=-1)
+    ap = jnp.abs(qh.p)
+    e2 = jnp.stack(apply_mat3(absM, ap[..., 0], ap[..., 1], ap[..., 2]),
+                   axis=-1)
+    q_perr = e1 + gamma(3) * (e2 + jnp.abs(o2w[..., :3, 3]))
     q_dpdu = xform_vector(o2w, qh.dpdu)
     q_dpdv = xform_vector(o2w, qh.dpdv)
     q_n = normalize(cross(q_dpdu, q_dpdv))
