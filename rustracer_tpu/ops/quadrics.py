@@ -164,6 +164,84 @@ def disk_intersect(o, d, t_max, height, radius, inner_radius, phi_max):
                       uv=jnp.stack([u, v], axis=-1), dpdu=dpdu, dpdv=dpdv)
 
 
+def _sphere_hit_t(oc, dc, t_max, radius, z_min, z_max, phi_max):
+    """Closest-hit (t, hit) only, pure component math (TPU lane-dense)."""
+    ox, oy, oz = oc
+    dx, dy, dz = dc
+    a = dx * dx + dy * dy + dz * dz
+    b = 2.0 * (ox * dx + oy * dy + oz * dz)
+    c = ox * ox + oy * oy + oz * oz - radius * radius
+    t0, t1, has = quadratic(a, b, c)
+
+    def ok_at(t):
+        px, py, pz = ox + t * dx, oy + t * dy, oz + t * dz
+        s = radius / jnp.maximum(jnp.sqrt(px * px + py * py + pz * pz), 1e-20)
+        px, py, pz = px * s, py * s, pz * s
+        px = jnp.where((px == 0.0) & (py == 0.0), 1e-5 * radius, px)
+        phi = jnp.arctan2(py, px)
+        phi = jnp.where(phi < 0.0, phi + 2.0 * PI, phi)
+        full = phi_max >= 2.0 * PI - 1e-6
+        z_ok = (pz >= z_min) & (pz <= z_max)
+        return jnp.where(full & (z_min <= -radius) & (z_max >= radius),
+                         jnp.ones_like(z_ok), z_ok & (phi <= phi_max))
+
+    valid0 = has & (t0 > 0.0) & (t0 < t_max) & ok_at(t0)
+    valid1 = has & (t1 > 0.0) & (t1 < t_max) & ok_at(t1)
+    t = jnp.where(valid0, t0, t1)
+    return t, valid0 | valid1
+
+
+def _cylinder_hit_t(oc, dc, t_max, radius, z_min, z_max, phi_max):
+    ox, oy, oz = oc
+    dx, dy, dz = dc
+    a = dx * dx + dy * dy
+    b = 2.0 * (dx * ox + dy * oy)
+    c = ox * ox + oy * oy - radius * radius
+    t0, t1, has = quadratic(jnp.where(a == 0.0, 1e-20, a), b, c)
+    has = has & (a > 0.0)
+
+    def ok_at(t):
+        px, py, pz = ox + t * dx, oy + t * dy, oz + t * dz
+        phi = jnp.arctan2(py, px)
+        phi = jnp.where(phi < 0.0, phi + 2.0 * PI, phi)
+        return (pz >= z_min) & (pz <= z_max) & (phi <= phi_max)
+
+    valid0 = has & (t0 > 0.0) & (t0 < t_max) & ok_at(t0)
+    valid1 = has & (t1 > 0.0) & (t1 < t_max) & ok_at(t1)
+    t = jnp.where(valid0, t0, t1)
+    return t, valid0 | valid1
+
+
+def _disk_hit_t(oc, dc, t_max, height, radius, inner_radius, phi_max):
+    ox, oy, oz = oc
+    dx, dy, dz = dc
+    parallel = jnp.abs(dz) < 1e-12
+    t = (height - oz) / jnp.where(parallel, 1.0, dz)
+    px, py = ox + t * dx, oy + t * dy
+    dist2 = px * px + py * py
+    phi = jnp.arctan2(py, px)
+    phi = jnp.where(phi < 0.0, phi + 2.0 * PI, phi)
+    hit = (~parallel) & (t > 0.0) & (t < t_max) & \
+        (dist2 <= radius * radius) & \
+        (dist2 >= inner_radius * inner_radius) & (phi <= phi_max)
+    return t, hit
+
+
+def quadric_hit_t(q_type, oc, dc, t_max, params):
+    """(t, hit) for ONE quadric type code (a scalar) over a lane batch.
+
+    oc/dc are object-space ray component triples; `lax.switch` runs only the
+    matching kernel (the fori_loop caller visits one quadric per step).
+    """
+    import jax
+    r0, r1, r2, r3 = (params[..., i] for i in range(4))
+    return jax.lax.switch(
+        jnp.clip(q_type, 0, 2),
+        [lambda: _sphere_hit_t(oc, dc, t_max, r0, r1, r2, r3),
+         lambda: _cylinder_hit_t(oc, dc, t_max, r0, r1, r2, r3),
+         lambda: _disk_hit_t(oc, dc, t_max, r0, r1, r2, r3)])
+
+
 def quadric_intersect(q_type, o, d, t_max, params):
     """Dispatch on quadric type with masked evaluation of all three kernels.
 

@@ -75,66 +75,89 @@ def make_step(li_fn: Callable, camera: PerspectiveCamera, film: Film,
     return jax.jit(step, donate_argnums=(1,))
 
 
+class Renderer:
+    """Holds the jitted per-tile step so repeat renders reuse the compile.
+
+    The reference re-renders by re-running main(); here the executable is the
+    expensive artifact — build once, replay for every render/checkpoint.
+    """
+
+    def __init__(self, li_fn, camera: PerspectiveCamera, film: Film,
+                 sampler: SamplerConfig,
+                 config: Optional[RenderConfig] = None):
+        self.li_fn = li_fn
+        self.camera = camera
+        self.film = film
+        self.sampler = sampler
+        self.config = config or RenderConfig()
+
+        def masked_step(ctx, fs, px, py, s, v):
+            xr, _ = film.full_resolution
+            pixel_idx = (py.astype(jnp.uint32) * jnp.uint32(xr)
+                         + px.astype(jnp.uint32))
+            lanes = Lanes(pixel_idx=pixel_idx,
+                          sample_idx=jnp.broadcast_to(s, pixel_idx.shape)
+                          .astype(jnp.uint32))
+            pixel_xy = jnp.stack([px, py], axis=-1).astype(jnp.float32)
+            p_film, p_lens, _t = sampler.get_camera_sample(
+                pixel_xy, lanes.pixel_idx, lanes.sample_idx)
+            ray = camera.generate_ray_differential(p_film, p_lens)
+            ray = ray.scaled_differentials(1.0 / np.sqrt(max(1, sampler.spp)))
+            dims = DimAllocator()
+            L = li_fn(ctx, ray, lanes, sampler, dims)
+            L = scrub_radiance(L)
+            return film.add_samples(fs, p_film, L, valid=v)
+
+        self._step = jax.jit(masked_step, donate_argnums=(1,))
+
+        # precompute the padded tile decomposition (static per renderer)
+        x0, y0, x1, y1 = film.get_sample_bounds()
+        gx, gy = np.meshgrid(np.arange(x0, x1, dtype=np.int32),
+                             np.arange(y0, y1, dtype=np.int32))
+        px_all, py_all = gx.ravel(), gy.ravel()
+        n = px_all.size
+        tile = min(self.config.max_lanes, n)
+        n_tiles = -(-n // tile)
+        pad = n_tiles * tile - n
+        valid = np.ones(n, bool)
+        if pad:
+            px_all = np.concatenate([px_all, np.full(pad, x0, np.int32)])
+            py_all = np.concatenate([py_all, np.full(pad, y0, np.int32)])
+            valid = np.concatenate([valid, np.zeros(pad, bool)])
+        self._tiles = [
+            (jnp.asarray(px_all[ti * tile:(ti + 1) * tile]),
+             jnp.asarray(py_all[ti * tile:(ti + 1) * tile]),
+             jnp.asarray(valid[ti * tile:(ti + 1) * tile]))
+            for ti in range(n_tiles)]
+
+    def render_state(self, ctx: RenderContext, film_state=None,
+                     sample_start: int = 0, sample_stop: Optional[int] = None):
+        """Accumulate samples [sample_start, sample_stop) into film state."""
+        if film_state is None:
+            film_state = self.film.init_state()
+        stop = self.sampler.spp if sample_stop is None else sample_stop
+        n_tiles = len(self._tiles)
+        t_start = time.time()
+        for ti, (px, py, v) in enumerate(self._tiles):
+            for s in range(sample_start, stop):
+                film_state = self._step(ctx, film_state, px, py,
+                                        jnp.uint32(s), v)
+            if self.config.report_progress:
+                done = (ti + 1) / n_tiles
+                el = time.time() - t_start
+                print(f"  tile {ti + 1}/{n_tiles} ({100 * done:.0f}%) "
+                      f"elapsed {el:.1f}s eta {el / done - el:.1f}s",
+                      flush=True)
+        return film_state
+
+    def render(self, ctx: RenderContext):
+        """Full render → (H, W, 3) linear RGB image array."""
+        film_state = self.render_state(ctx)
+        return self.film.to_image(film_state,
+                                  splat_scale=self.config.splat_scale)
+
+
 def render(ctx: RenderContext, li_fn, camera: PerspectiveCamera, film: Film,
            sampler: SamplerConfig, config: Optional[RenderConfig] = None):
-    """Full render → (H, W, 3) linear RGB image array."""
-    config = config or RenderConfig()
-    x0, y0, x1, y1 = film.get_sample_bounds()
-    xs = np.arange(x0, x1, dtype=np.int32)
-    ys = np.arange(y0, y1, dtype=np.int32)
-    gx, gy = np.meshgrid(xs, ys)
-    px_all = gx.ravel()
-    py_all = gy.ravel()
-    n = px_all.size
-    tile = min(config.max_lanes, n)
-    # pad to a whole number of tiles; padded lanes re-render pixel (x0, y0)
-    # with weight handled by duplicate adds — instead mask by pointing them
-    # at an in-bounds pixel but relying on filter weights: simpler, pad with
-    # the first pixel and subtract nothing (duplicates bias!). So: pad to the
-    # next multiple by wrapping — but that double-counts. Correct approach:
-    # keep a valid mask.
-    n_tiles = -(-n // tile)
-    pad = n_tiles * tile - n
-    valid = np.ones(n, bool)
-    if pad:
-        px_all = np.concatenate([px_all, np.full(pad, x0, np.int32)])
-        py_all = np.concatenate([py_all, np.full(pad, y0, np.int32)])
-        valid = np.concatenate([valid, np.zeros(pad, bool)])
-
-    step = make_step(li_fn, camera, film, sampler)
-
-    def masked_step(ctx, fs, px, py, s, v):
-        # film.add_samples drops invalid lanes via the mask by zeroing weight
-        xr, _ = film.full_resolution
-        pixel_idx = (py.astype(jnp.uint32) * jnp.uint32(xr) + px.astype(jnp.uint32))
-        lanes = Lanes(pixel_idx=pixel_idx,
-                      sample_idx=jnp.broadcast_to(s, pixel_idx.shape).astype(jnp.uint32))
-        pixel_xy = jnp.stack([px, py], axis=-1).astype(jnp.float32)
-        p_film, p_lens, _t = sampler.get_camera_sample(
-            pixel_xy, lanes.pixel_idx, lanes.sample_idx)
-        ray = camera.generate_ray_differential(p_film, p_lens)
-        ray = ray.scaled_differentials(1.0 / np.sqrt(max(1, sampler.spp)))
-        dims = DimAllocator()
-        L = li_fn(ctx, ray, lanes, sampler, dims)
-        L = scrub_radiance(L)
-        return film.add_samples(fs, p_film, L, valid=v)
-
-    masked_step = jax.jit(masked_step, donate_argnums=(1,))
-
-    film_state = film.init_state()
-    t_start = time.time()
-    for ti in range(n_tiles):
-        sl = slice(ti * tile, (ti + 1) * tile)
-        px = jnp.asarray(px_all[sl])
-        py = jnp.asarray(py_all[sl])
-        v = jnp.asarray(valid[sl])
-        for s in range(sampler.spp):
-            film_state = masked_step(ctx, film_state, px, py,
-                                     jnp.uint32(s), v)
-        if config.report_progress:
-            done = (ti + 1) / n_tiles
-            el = time.time() - t_start
-            print(f"  tile {ti + 1}/{n_tiles} ({100 * done:.0f}%) "
-                  f"elapsed {el:.1f}s eta {el / done - el:.1f}s", flush=True)
-    img = film.to_image(film_state, splat_scale=config.splat_scale)
-    return img
+    """One-shot render → (H, W, 3) linear RGB image array."""
+    return Renderer(li_fn, camera, film, sampler, config).render(ctx)
