@@ -182,5 +182,48 @@ def build_bvh_arrays(quad, tris, split_method="sah", max_prims=4):
     max_prims = min(max_prims, 4)
     lo, hi = triangle_bounds(tris["tv_p"], tris["t_idx"])
     nodes_lo, nodes_hi, meta, prims = build_bvh(lo, hi, split_method, max_prims)
+
+    # --- pack for TPU traversal ---
+    # Incoherent gathers on TPU are latency-bound per *gather op*, not per
+    # byte: one (N, 8) row gather costs the same as one (N,) scalar gather
+    # (measured). So each node is one 32-byte record and each leaf is one
+    # 160-byte record holding its ≤4 baked triangles; the traversal kernel
+    # issues exactly two gathers per step instead of ~50.
+    import numpy as np
+    n_nodes = meta.shape[0]
+    is_leaf = meta[:, 1] > 0
+    leaf_idx = np.where(is_leaf)[0]
+    L = max(1, len(leaf_idx))
+    child = meta[:, 0].astype(np.int32).copy()
+    child[leaf_idx] = np.arange(len(leaf_idx), dtype=np.int32)
+
+    packed = np.zeros((n_nodes, 8), np.float32)
+    packed[:, 0:3] = nodes_lo
+    packed[:, 3:6] = nodes_hi
+    packed[:, 6] = child.view(np.float32)
+    mp = ((meta[:, 1].astype(np.int32) << 2)
+          | meta[:, 2].astype(np.int32)).astype(np.int32)
+    packed[:, 7] = mp.view(np.float32)
+
+    # leaf records: 4 x [p0.xyz p1.xyz p2.xyz tid] (tid = -1 pads)
+    t_idx_arr = np.asarray(tris["t_idx"])
+    tv_p = np.asarray(tris["tv_p"], np.float32)
+    counts = meta[leaf_idx, 1].astype(np.int64) if len(leaf_idx) else \
+        np.zeros(0, np.int64)
+    offs = meta[leaf_idx, 0].astype(np.int64) if len(leaf_idx) else \
+        np.zeros(0, np.int64)
+    leaf_packed = np.zeros((L, 40), np.float32)
+    tids = np.full((L, 4), -1, np.int32)
+    for k in range(4):
+        valid = counts > k
+        tids[:len(leaf_idx)][valid, k] = prims[offs[valid] + k]
+    safe = np.maximum(tids, 0)
+    verts = tv_p[t_idx_arr[safe]]            # (L, 4, 3, 3)
+    verts[tids < 0] = 0.0                    # degenerate → never hits
+    for k in range(4):
+        leaf_packed[:, k * 10:k * 10 + 9] = verts[:, k].reshape(L, 9)
+        leaf_packed[:, k * 10 + 9] = tids[:, k].view(np.float32)
+
     return dict(bvh_lo=nodes_lo, bvh_hi=nodes_hi, bvh_meta=meta,
-                bvh_prims=prims)
+                bvh_prims=prims, bvh_nodes_packed=packed,
+                bvh_leaf_packed=leaf_packed)

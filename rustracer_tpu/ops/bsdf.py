@@ -50,7 +50,8 @@ DISNEY_RETRO = 10
 DISNEY_SHEEN = 11
 DISNEY_CLEARCOAT = 12
 DISNEY_FAKE_SS = 13
-N_LOBE_TYPES = 14
+FOURIER = 14
+N_LOBE_TYPES = 15
 
 # --- BxDF type flags (bsdf/mod.rs BxDFType) ---
 REFLECTION = 1
@@ -75,15 +76,19 @@ _LOBE_FLAGS[DISNEY_RETRO] = REFLECTION | DIFFUSE
 _LOBE_FLAGS[DISNEY_SHEEN] = REFLECTION | DIFFUSE
 _LOBE_FLAGS[DISNEY_CLEARCOAT] = REFLECTION | GLOSSY
 _LOBE_FLAGS[DISNEY_FAKE_SS] = REFLECTION | DIFFUSE
+_LOBE_FLAGS[FOURIER] = REFLECTION | TRANSMISSION | GLOSSY
 
 
 class LobeStack(NamedTuple):
     """(B, M) lobes per lane. eta is the lane's relative IOR for ray
-    differentials / RR (bsdf/mod.rs Bsdf.eta)."""
+    differentials / RR (bsdf/mod.rs Bsdf.eta). `fourier` optionally carries
+    the scene's stacked FourierTableSet (ops/fourier.py) for FOURIER lobes —
+    params[15] is the per-lobe table id."""
     type: jnp.ndarray     # (B, M) int32
     params: jnp.ndarray   # (B, M, 16) float32
     active: jnp.ndarray   # (B, M) bool
     eta: jnp.ndarray      # (B,) float32
+    fourier: object = None  # FourierTableSet or None
 
     @property
     def max_lobes(self):
@@ -327,24 +332,41 @@ def _pdf_one_type(T, params, wo, wi):
     return jnp.zeros(wo.shape[:-1], jnp.float32)
 
 
-def eval_f(ltype, params, wo, wi, types_present: Sequence[int]):
+def eval_f(ltype, params, wo, wi, types_present: Sequence[int], fourier=None):
     """Masked dispatch of _f_one_type over the statically-present types."""
-    out = jnp.zeros(wo.shape[:-1] + (3,), jnp.float32)
+    batch = jnp.broadcast_shapes(ltype.shape, wo.shape[:-1])
+    out = jnp.zeros(batch + (3,), jnp.float32)
     for T in types_present:
-        if _LOBE_FLAGS[T] & SPECULAR and T != FRESNEL_SPECULAR:
-            continue
         if T in (SPECULAR_REFL, SPECULAR_TRANS, FRESNEL_SPECULAR):
             continue
-        out = jnp.where((ltype == T)[..., None], _f_one_type(T, params, wo, wi), out)
+        if T == FOURIER:
+            from .fourier import fourier_f
+            tid = params[..., 15].astype(jnp.int32)
+            val = fourier_f(fourier, tid,
+                            jnp.broadcast_to(wo, batch + (3,)),
+                            jnp.broadcast_to(wi, batch + (3,)))
+        else:
+            val = _f_one_type(T, params, wo, wi)
+        out = jnp.where((ltype == T)[..., None], val, out)
     return out
 
 
-def eval_pdf(ltype, params, wo, wi, types_present: Sequence[int]):
-    out = jnp.zeros(wo.shape[:-1], jnp.float32)
+def eval_pdf(ltype, params, wo, wi, types_present: Sequence[int],
+             fourier=None):
+    batch = jnp.broadcast_shapes(ltype.shape, wo.shape[:-1])
+    out = jnp.zeros(batch, jnp.float32)
     for T in types_present:
         if T in (SPECULAR_REFL, SPECULAR_TRANS, FRESNEL_SPECULAR):
             continue
-        out = jnp.where(ltype == T, _pdf_one_type(T, params, wo, wi), out)
+        if T == FOURIER:
+            from .fourier import fourier_pdf
+            tid = params[..., 15].astype(jnp.int32)
+            val = fourier_pdf(fourier, tid,
+                              jnp.broadcast_to(wo, batch + (3,)),
+                              jnp.broadcast_to(wi, batch + (3,)))
+        else:
+            val = _pdf_one_type(T, params, wo, wi)
+        out = jnp.where(ltype == T, val, out)
     return out
 
 
@@ -352,7 +374,8 @@ def eval_pdf(ltype, params, wo, wi, types_present: Sequence[int]):
 # per-type sampling (chosen lobe per lane: ltype (B,), params (B,16))
 # ---------------------------------------------------------------------------
 
-def sample_lobe(ltype, params, wo, u, types_present: Sequence[int]):
+def sample_lobe(ltype, params, wo, u, types_present: Sequence[int],
+                fourier=None):
     """Sample wi from the chosen lobe. Returns (wi, specular_f, specular_pdf,
     is_specular). For non-specular lobes, f/pdf must be computed by summing
     over all lobes afterwards (bsdf/mod.rs:138-251 semantics)."""
@@ -405,6 +428,11 @@ def sample_lobe(ltype, params, wo, u, types_present: Sequence[int]):
         w, ok = refract(wo, wh_f, e)
         w = jnp.where(ok[..., None], w, -wo)  # TIR → degenerate, f will be 0
         wi = jnp.where((ltype == MICROFACET_TRANS)[..., None], w, wi)
+    if FOURIER in types_present:
+        from .fourier import fourier_sample_f
+        tid = params[..., 15].astype(jnp.int32)
+        w_f, _, _ = fourier_sample_f(fourier, tid, wo, u)
+        wi = jnp.where((ltype == FOURIER)[..., None], w_f, wi)
     if FRESNEL_BLEND in types_present:
         ax, ay = params[..., 10], params[..., 11]
         dist = params[..., 12].astype(jnp.int32)
@@ -499,7 +527,7 @@ def bsdf_f(lobes: LobeStack, si, wo_w, wi_w, types_present, flags=ALL):
                         (lf & TRANSMISSION) != 0)
     m = lobes.active & _matches(lobes.type, flags) & hemi_ok
     f = eval_f(lobes.type, lobes.params, wo[..., None, :], wi[..., None, :],
-               types_present)
+               types_present, fourier=lobes.fourier)
     f = jnp.where(m[..., None], f, 0.0)
     return jnp.where(ok_wo[..., None], jnp.sum(f, axis=-2), 0.0)
 
@@ -511,7 +539,7 @@ def bsdf_pdf(lobes: LobeStack, si, wo_w, wi_w, types_present, flags=ALL):
     ok_wo = jnp.abs(wo[..., 2]) > 1e-8
     m = lobes.active & _matches(lobes.type, flags)
     pdf = eval_pdf(lobes.type, lobes.params, wo[..., None, :], wi[..., None, :],
-                   types_present)
+                   types_present, fourier=lobes.fourier)
     pdf = jnp.where(m, pdf, 0.0)
     n = jnp.sum(m.astype(jnp.int32), axis=-1)
     total = jnp.sum(pdf, axis=-1)
@@ -546,7 +574,8 @@ def bsdf_sample_f(lobes: LobeStack, si, wo_w, u_lobe, u2, types_present,
                              jnp.minimum(u2[..., 0], 0.99999)),
                    u2[..., 1]], axis=-1)
 
-    wi, spec_f, spec_pdf, is_spec = sample_lobe(ct, cp, wo, u, types_present)
+    wi, spec_f, spec_pdf, is_spec = sample_lobe(ct, cp, wo, u, types_present,
+                                                fourier=lobes.fourier)
     wi_w = local_to_world(si.ss, si.ts, si.ns, wi)
 
     # non-specular: f sums all lobes (with hemisphere test), pdf averages

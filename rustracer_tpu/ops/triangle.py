@@ -39,8 +39,14 @@ def _unpack(v):
 
 def triangle_intersect(o, d, t_max, p0, p1, p2):
     """Watertight intersect; everything broadcasts (mesh.rs:214-260)."""
-    ox, oy, oz = _unpack(o)
-    dcx, dcy, dcz = _unpack(d)
+    return triangle_intersect_c(_unpack(o), _unpack(d), t_max,
+                                _unpack(p0), _unpack(p1), _unpack(p2))
+
+
+def triangle_intersect_c(oc, dc, t_max, p0c, p1c, p2c):
+    """Component-triple variant (callers with pre-split SoA buffers)."""
+    ox, oy, oz = oc
+    dcx, dcy, dcz = dc
     # pick kz = max |d| component (argmax tie-break: first), cyclic kx/ky
     adx, ady, adz = jnp.abs(dcx), jnp.abs(dcy), jnp.abs(dcz)
     is0 = (adx >= ady) & (adx >= adz)
@@ -58,14 +64,14 @@ def triangle_intersect(o, d, t_max, p0, p1, p2):
     sx = -dx * sz
     sy = -dy * sz
 
-    def shear(p):
-        px, py, pz = _unpack(p)
+    def shear(pc):
+        px, py, pz = pc
         ptx, pty, ptz = permute(px - ox, py - oy, pz - oz)
         return ptx + sx * ptz, pty + sy * ptz, ptz * sz
 
-    x0, y0, z0 = shear(p0)
-    x1, y1, z1 = shear(p1)
-    x2, y2, z2 = shear(p2)
+    x0, y0, z0 = shear(p0c)
+    x1, y1, z1 = shear(p1c)
+    x2, y2, z2 = shear(p2c)
 
     e0 = x1 * y2 - y1 * x2
     e1 = x2 * y0 - y2 * x0

@@ -52,8 +52,10 @@ class TextureRegistry:
     def __init__(self):
         self.const: Dict[str, jnp.ndarray] = {}
         self.images: List[list] = []
+        self.fourier_tables: List[dict] = []
         self._n = 0
         self._image_cache: Dict[tuple, int] = {}
+        self._fourier_cache: Dict[str, int] = {}
 
     def constant_spectrum(self, value) -> T.ConstantTexture:
         key = f"c{self._n}"
@@ -83,8 +85,22 @@ class TextureRegistry:
         self._image_cache[key] = idx
         return idx
 
+    def fourier_table(self, filename) -> int:
+        """Load + cache a .bsdf table; → table id (fourier.rs:340-420)."""
+        if filename in self._fourier_cache:
+            return self._fourier_cache[filename]
+        from ..ops.fourier import read_bsdf_table
+        self.fourier_tables.append(read_bsdf_table(filename))
+        idx = len(self.fourier_tables) - 1
+        self._fourier_cache[filename] = idx
+        return idx
+
     def pytree(self):
-        return {"const": dict(self.const), "images": list(self.images)}
+        out = {"const": dict(self.const), "images": list(self.images)}
+        if self.fourier_tables:
+            from ..ops.fourier import make_table_set
+            out["fourier"] = make_table_set(self.fourier_tables)
+        return out
 
 
 @dataclasses.dataclass
@@ -628,9 +644,16 @@ class RealApi:
                               self.material_set.materials[id2],
                               tp.get_spectrum_texture("amount", (0.5,) * 3))
         elif name == "fourier":
-            log.warning("fourier material: table-driven BSDF not yet "
-                        "implemented; substituting matte")
-            return self._build_material("matte", ParamSet())
+            # material/fourier.rs: table file via "bsdffile" param
+            fname = params.find_one_filename("bsdffile", "")
+            if not fname:
+                log.error("fourier material missing bsdffile; using matte")
+                return self._build_material("matte", ParamSet())
+            tid = self.textures.fourier_table(fname)
+            eta = float(self.textures.fourier_tables[tid]["eta"])
+            m = M.FourierMaterial(
+                table_id=tid, eta=eta,
+                bump=tp.get_float_texture_or_none("bumpmap"))
         else:
             # unknown → matte (api.rs:1180-1182)
             log.warning("material %r unknown; using matte", name)

@@ -464,6 +464,32 @@ class DisneyMaterial(Material):
         return rows
 
 
+class FourierMaterial(Material):
+    """material/fourier.rs — measured layered BSDF from a .bsdf table.
+
+    The table itself travels in ctx.textures["fourier"] (a FourierTableSet);
+    params slot 15 carries this material's table id.
+    """
+
+    def __init__(self, table_id: int, eta: float = 1.0, bump=None):
+        self.table_id = int(table_id)
+        self.eta = float(eta)
+        self.bump_tex = bump
+
+    def lobe_types(self):
+        return {B.FOURIER}
+
+    def eta_value(self, si, ctx):
+        return jnp.full(si.t.shape, self.eta, jnp.float32)
+
+    def lobe_rows(self, si, ctx):
+        bs = si.t.shape
+        return [dict(type=jnp.full(bs, B.FOURIER, jnp.int32),
+                     params=_mk_params(bs, s0=self.eta,
+                                       s6=float(self.table_id)),
+                     active=jnp.ones(bs, bool))]
+
+
 class MixMaterial(Material):
     """material/mixmat.rs — scaled blend of two materials' lobe stacks."""
 
@@ -515,7 +541,8 @@ class MaterialSet:
     def _n_rows(m: Material) -> int:
         counts = {MatteMaterial: 1, PlasticMaterial: 2, MirrorMaterial: 1,
                   GlassMaterial: 2, MetalMaterial: 1, SubstrateMaterial: 1,
-                  TranslucentMaterial: 4, UberMaterial: 5}
+                  TranslucentMaterial: 4, UberMaterial: 5,
+                  FourierMaterial: 1}
         if isinstance(m, DisneyMaterial):
             return 8 if m.thin else 6
         if isinstance(m, MixMaterial):
@@ -557,4 +584,8 @@ class MaterialSet:
         # lanes with no material (misses / lights-only prims): inactive
         la = la & (si.material >= 0)[..., None] & si.valid[..., None]
         si = si._replace(ns=ns, ss=ss, ts=ts)
-        return si, B.LobeStack(type=lt, params=lp, active=la, eta=eta)
+        fourier = None
+        if isinstance(ctx.textures, dict):
+            fourier = ctx.textures.get("fourier")
+        return si, B.LobeStack(type=lt, params=lp, active=la, eta=eta,
+                               fourier=fourier)

@@ -51,6 +51,8 @@ class GeometryTables(NamedTuple):
     bvh_hi: jnp.ndarray       # (N, 3) node AABB max
     bvh_meta: jnp.ndarray     # (N, 3) int32: [prim_offset_or_second_child, n_prims, axis]
     bvh_prims: jnp.ndarray    # (P,) int32 ordered global prim ids
+    bvh_nodes_packed: jnp.ndarray  # (N, 8): lo(3) hi(3) child mp (bitcast)
+    bvh_leaf_packed: jnp.ndarray   # (L, 40): 4 x [p0 p1 p2 tid] baked tris
 
     @property
     def n_quadrics(self):
@@ -103,6 +105,8 @@ def make_geometry(quadrics: Optional[dict] = None, tris: Optional[dict] = None,
                    bvh_hi=np.zeros((1, 3), np.float32),
                    bvh_meta=np.zeros((1, 3), np.int32),
                    bvh_prims=np.zeros(1, np.int32))
+    bvh.setdefault("bvh_nodes_packed", np.zeros((1, 8), np.float32))
+    bvh.setdefault("bvh_leaf_packed", np.zeros((1, 40), np.float32))
     merged = {}
     merged.update(q)
     merged.update(t)
