@@ -181,7 +181,12 @@ def build_bvh_arrays(quad, tris, split_method="sah", max_prims=4):
     # the traversal kernel statically unrolls 4 tests per leaf
     max_prims = min(max_prims, 4)
     lo, hi = triangle_bounds(tris["tv_p"], tris["t_idx"])
-    nodes_lo, nodes_hi, meta, prims = build_bvh(lo, hi, split_method, max_prims)
+    # native (C++) builder when available; NumPy fallback otherwise
+    from rustracer_tpu.native import build_bvh_native
+    built = build_bvh_native(lo, hi, split_method, max_prims)
+    if built is None:
+        built = build_bvh(lo, hi, split_method, max_prims)
+    nodes_lo, nodes_hi, meta, prims = built
 
     # --- pack for TPU traversal ---
     # Incoherent gathers on TPU are latency-bound per *gather op*, not per

@@ -95,6 +95,31 @@ def uniform_sample_one_light(ctx, mat_set, si, lobes, sampler, lanes, dims):
     return ld * float(n)
 
 
+def spatial_sample_one_light(ctx, mat_set, si, lobes, sampler, lanes, dims):
+    """Pick one light from the per-voxel spatial distribution
+    (lightdistrib.rs:59-204 via the precomputed dense grid in
+    scene/lightdistrib.py); weight by the selection PMF."""
+    from ..scene import lightdistrib as LD
+    u_sel = sampler.get_1d(lanes.pixel_idx, lanes.sample_idx, dims.next_1d())
+    lid, pmf = LD.sample_light(ctx.light_grid, si.p, u_sel)
+    u_light = sampler.get_2d(lanes.pixel_idx, lanes.sample_idx, dims.next_2d())
+    u_sc_lobe = sampler.get_1d(lanes.pixel_idx, lanes.sample_idx, dims.next_1d())
+    u_sc = sampler.get_2d(lanes.pixel_idx, lanes.sample_idx, dims.next_2d())
+    ld = estimate_direct(ctx, mat_set, si, lobes, lid, u_light, u_sc_lobe, u_sc)
+    return ld / jnp.maximum(pmf, 1e-12)[..., None]
+
+
+def sample_one_light(ctx, mat_set, si, lobes, sampler, lanes, dims):
+    """Strategy dispatch (path.rs:86-94): spatial when the context carries a
+    precomputed grid, uniform otherwise. Consumes the same sampler dimension
+    count either way so sequences stay aligned across strategies."""
+    if getattr(ctx, "light_grid", None) is not None:
+        return spatial_sample_one_light(ctx, mat_set, si, lobes, sampler,
+                                        lanes, dims)
+    return uniform_sample_one_light(ctx, mat_set, si, lobes, sampler, lanes,
+                                    dims)
+
+
 def uniform_sample_all_lights(ctx, mat_set, si, lobes, sampler, lanes, dims):
     """Loop all lights (integrator/mod.rs:145-184), one sample each."""
     lt = ctx.lights

@@ -16,7 +16,7 @@ from ..core.spectrum import is_black
 from ..ops import bsdf as B
 from ..scene import lights as L
 from ..scene.tables import scene_intersect
-from .common import uniform_sample_one_light
+from .common import sample_one_light
 
 
 @dataclasses.dataclass(frozen=True)
@@ -61,8 +61,8 @@ class PathIntegrator:
 
             # NEE (path.rs:154-169); skip if only specular lobes
             n_nonspec = B.num_matching(lobes, B.ALL & ~B.SPECULAR)
-            ld = uniform_sample_one_light(ctx, self.mat_set, si_s, lobes,
-                                          sampler, lanes, dims)
+            ld = sample_one_light(ctx, self.mat_set, si_s, lobes,
+                                  sampler, lanes, dims)
             Lrad = Lrad + jnp.where((alive & (n_nonspec > 0))[..., None],
                                     beta * ld, 0.0)
 

@@ -33,6 +33,7 @@ class RenderContext(NamedTuple):
     lights: Any = None
     materials: Any = None       # material parameter pytree
     textures: Any = None        # texture data pytree
+    light_grid: Any = None      # SpatialLightGrid (lightdistrib.py) or None
 
 
 @dataclasses.dataclass

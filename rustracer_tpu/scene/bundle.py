@@ -37,10 +37,12 @@ class SceneBundle:
     integrator: object
     integrator_name: str
     filename: str
+    light_grid: object = None
 
     def context(self) -> RenderContext:
         return RenderContext(geom=self.geom, lights=self.lights,
-                             textures=self.textures)
+                             textures=self.textures,
+                             light_grid=self.light_grid)
 
     def render(self, progress=False, max_lanes=1 << 16):
         cfg = RenderConfig(max_lanes=max_lanes, report_progress=progress)
@@ -152,12 +154,13 @@ def _world_bounds(quad, tris):
         los.append(lo.min(0))
         his.append(hi.max(0))
     if not los:
-        return np.zeros(3, np.float32), np.float32(1.0)
+        z = np.zeros(3, np.float32)
+        return z, np.float32(1.0), z, np.ones(3, np.float32)
     lo = np.min(np.stack(los), 0)
     hi = np.max(np.stack(his), 0)
     center = 0.5 * (lo + hi)
     radius = float(np.linalg.norm(hi - center)) or 1.0
-    return center, radius
+    return center, radius, lo, hi
 
 
 def build_bundle(api) -> SceneBundle:
@@ -179,7 +182,7 @@ def build_bundle(api) -> SceneBundle:
             log.warning("BVH module unavailable; brute-force intersection")
 
     geom = make_geometry(quadrics=quad, tris=tris, bvh=bvh)
-    center, radius = _world_bounds(quad, tris)
+    center, radius, world_lo, world_hi = _world_bounds(quad, tris)
 
     inf = ro.infinite_light
     inf_map = None
@@ -253,11 +256,18 @@ def build_bundle(api) -> SceneBundle:
     ip = ro.integrator_params
     iname = ro.integrator_name
     ms = api.material_set
+    light_grid = None
     if iname == "path":
         from ..integrators.path import PathIntegrator
         integ = PathIntegrator(mat_set=ms,
                                max_depth=ip.find_one_int("maxdepth", 5),
                                rr_threshold=ip.find_one_float("rrthreshold", 1.0))
+        # light-sampling strategy (path.rs:52,86-94): "spatial" default;
+        # uniform when asked for or when there's only one light
+        strategy = ip.find_one_string("lightsamplestrategy", "spatial")
+        if strategy != "uniform" and lights.n_lights > 1:
+            from .lightdistrib import build_spatial_grid
+            light_grid = build_spatial_grid(lights, geom, world_lo, world_hi)
     elif iname == "directlighting":
         from ..integrators.direct import DirectLightingIntegrator
         strat = ip.find_one_string("strategy", "all")
@@ -295,4 +305,4 @@ def build_bundle(api) -> SceneBundle:
         geom=geom, lights=lights, material_set=ms,
         textures=api.textures.pytree(), camera=camera, film=film,
         sampler=sampler, integrator=integ, integrator_name=iname,
-        filename=film.filename)
+        filename=film.filename, light_grid=light_grid)
