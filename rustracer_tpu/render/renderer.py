@@ -10,6 +10,7 @@ same step is the unit that `parallel/` shards over device meshes.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Any, Callable, NamedTuple, Optional
 
@@ -156,6 +157,30 @@ class Renderer:
         film_state = self.render_state(ctx)
         return self.film.to_image(film_state,
                                   splat_scale=self.config.splat_scale)
+
+    def render_checkpointed(self, ctx: RenderContext, ckpt_path: str,
+                            every_spp: int = 8):
+        """Render with periodic film checkpoints (render/checkpoint.py):
+        resumes from ckpt_path if present, snapshots every `every_spp`
+        samples, and removes the checkpoint on successful completion."""
+        from .checkpoint import maybe_resume, save_film_checkpoint
+        film_state, done = maybe_resume(ckpt_path, self.film)
+        if done:
+            print(f"resuming from {ckpt_path} at {done} spp", flush=True)
+        spp = self.sampler.spp
+        while done < spp:
+            stop = min(done + max(1, every_spp), spp)
+            film_state = self.render_state(ctx, film_state,
+                                           sample_start=done,
+                                           sample_stop=stop)
+            done = stop
+            if done < spp:
+                save_film_checkpoint(ckpt_path, film_state, done)
+        img = self.film.to_image(film_state,
+                                 splat_scale=self.config.splat_scale)
+        if os.path.exists(ckpt_path):
+            os.remove(ckpt_path)
+        return img
 
 
 def render(ctx: RenderContext, li_fn, camera: PerspectiveCamera, film: Film,

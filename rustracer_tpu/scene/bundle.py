@@ -44,8 +44,15 @@ class SceneBundle:
                              textures=self.textures,
                              light_grid=self.light_grid)
 
-    def render(self, progress=False, max_lanes=1 << 16):
+    def render(self, progress=False, max_lanes=1 << 16, checkpoint=None,
+               checkpoint_every=8):
         cfg = RenderConfig(max_lanes=max_lanes, report_progress=progress)
+        if checkpoint:
+            from ..render.renderer import Renderer
+            r = Renderer(self.integrator.li, self.camera, self.film,
+                         self.sampler, cfg)
+            return r.render_checkpointed(self.context(), checkpoint,
+                                         every_spp=checkpoint_every)
         return render(self.context(), self.integrator.li, self.camera,
                       self.film, self.sampler, cfg)
 

@@ -26,6 +26,12 @@ def main(argv=None):
     p.add_argument("--cpu", action="store_true", help="force CPU jax backend")
     p.add_argument("--spp", type=int, default=None, help="override samples/pixel")
     p.add_argument("--progress", action="store_true", default=True)
+    p.add_argument("--checkpoint", default=None, metavar="PATH",
+                   help="film checkpoint file: resume if present, snapshot "
+                        "periodically (new capability; reference has none, "
+                        "SURVEY §5.4)")
+    p.add_argument("--checkpoint-every", type=int, default=8, metavar="SPP",
+                   help="samples/pixel between checkpoints (default 8)")
     args = p.parse_args(argv)
 
     logging.basicConfig(
@@ -62,7 +68,9 @@ def main(argv=None):
         max_lanes = 1 << max(10, min(22, args.threads))
 
     t1 = time.time()
-    img = bundle.render(progress=args.progress, max_lanes=max_lanes)
+    img = bundle.render(progress=args.progress, max_lanes=max_lanes,
+                        checkpoint=args.checkpoint,
+                        checkpoint_every=args.checkpoint_every)
     import numpy as np
     img = np.asarray(img)
     t_render = time.time() - t1
