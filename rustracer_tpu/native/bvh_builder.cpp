@@ -168,10 +168,14 @@ int build_bvh_sah(const float* lo_in, const float* hi_in, int32_t n,
                     blo[b] = {INFINITY, INFINITY, INFINITY};
                     bhi[b] = {-INFINITY, -INFINITY, -INFINITY};
                 }
-                const float inv_ext = 1.0f / ext;
+                // exact arithmetic parity with the NumPy builder
+                // (accel/bvh.py): N_BUCKETS * diff, THEN divide by ext,
+                // truncate — a reciprocal-multiply can round a centroid
+                // into a different bucket at the boundary
                 auto bucket_of = [&](int32_t p) {
                     int b = static_cast<int>(
-                        N_BUCKETS * ((centroid[p][dim] - c_lo[dim]) * inv_ext));
+                        (static_cast<float>(N_BUCKETS) *
+                         (centroid[p][dim] - c_lo[dim])) / ext);
                     return std::min(b, N_BUCKETS - 1);
                 };
                 for (int32_t i = 0; i < count; ++i) {

@@ -340,6 +340,8 @@ def eval_f(ltype, params, wo, wi, types_present: Sequence[int], fourier=None):
         if T in (SPECULAR_REFL, SPECULAR_TRANS, FRESNEL_SPECULAR):
             continue
         if T == FOURIER:
+            if fourier is None:
+                continue  # no table set bound: treat FOURIER lobes as black
             from .fourier import fourier_f
             tid = params[..., 15].astype(jnp.int32)
             val = fourier_f(fourier, tid,
@@ -359,6 +361,8 @@ def eval_pdf(ltype, params, wo, wi, types_present: Sequence[int],
         if T in (SPECULAR_REFL, SPECULAR_TRANS, FRESNEL_SPECULAR):
             continue
         if T == FOURIER:
+            if fourier is None:
+                continue  # no table set bound: pdf 0
             from .fourier import fourier_pdf
             tid = params[..., 15].astype(jnp.int32)
             val = fourier_pdf(fourier, tid,
@@ -428,7 +432,7 @@ def sample_lobe(ltype, params, wo, u, types_present: Sequence[int],
         w, ok = refract(wo, wh_f, e)
         w = jnp.where(ok[..., None], w, -wo)  # TIR → degenerate, f will be 0
         wi = jnp.where((ltype == MICROFACET_TRANS)[..., None], w, wi)
-    if FOURIER in types_present:
+    if FOURIER in types_present and fourier is not None:
         from .fourier import fourier_sample_f
         tid = params[..., 15].astype(jnp.int32)
         w_f, _, _ = fourier_sample_f(fourier, tid, wo, u)

@@ -187,10 +187,14 @@ def make_table_set(tables) -> FourierTableSet:
         a0[ti, :sz, :sz] = t["a0"]
         cdf[ti, :sz, :sz] = t["cdf"]
         # padded cdf columns must stay at the row maximum so sampling
-        # never lands in the pad region
+        # never lands in the pad region; padded ROWS repeat the last real
+        # row so clipped Catmull-Rom taps (oo + b beyond the real grid)
+        # see the boundary distribution instead of zeros, keeping the pdf
+        # consistent with the sampler near the mu boundary
         if sz < n:
             cdf[ti, :sz, sz:] = t["cdf"][:, -1:]
-            cdf[ti, sz:, :] = 0.0
+            cdf[ti, sz:, :sz] = t["cdf"][-1:, :]
+            cdf[ti, sz:, sz:] = t["cdf"][-1, -1]
         eta[ti] = t["eta"]
         nch[ti] = t["n_channels"]
     ts = FourierTableSet(
@@ -229,11 +233,11 @@ def _gather_ak(ts: FourierTableSet, tid, oi, oo, wi_w, wo_w):
                    + k)
             ok = (k < mm[..., None, None]) & (w != 0.0)[..., None, None]
             idx = jnp.clip(idx, 0, nc_flat - 1)
-            flat = ts.a_flat[tid]  # (..., NC)
-            # gather (..., 3, m_pad) coefficients; flat broadcasts over the
-            # (3, m_pad) index dims
-            vals = jnp.take_along_axis(flat[..., None, None, :], idx[..., None],
-                                       axis=-1)[..., 0]
+            # one combined gather: tid broadcasts against the (..., 3, m_pad)
+            # coefficient indices, so only the needed values are fetched —
+            # never a (..., n_coeffs) intermediate (measured .bsdf tables
+            # have n_coeffs ~1e5-1e7, which would OOM at render batch sizes)
+            vals = ts.a_flat[tid[..., None, None], idx]
             ak = ak + jnp.where(ok, w[..., None, None] * vals, 0.0)
     return ak
 

@@ -6,7 +6,17 @@ film accumulator (FilmState: rgb / wsum / splat tensors) is snapshotted to an
 .npz after every chunk of samples, atomically, together with the number of
 samples already accumulated; a resume picks up at that sample index. The
 (0,2)-sequence sampler is deterministic per (pixel, sample_idx), so a
-resumed render is bit-identical to an uninterrupted one.
+resumed render is bit-identical to a checkpointed-but-uninterrupted one.
+
+Ordering caveat: `render_checkpointed` iterates (sample-chunk, tile) while a
+plain `render` iterates (tile, sample), so a pixel whose filter footprint
+receives contributions from MORE THAN ONE tile accumulates them in a
+different float order between the two paths. Bit-identity vs a *plain*
+render therefore additionally requires that no filter footprint crosses a
+tile boundary — true for the default box filter (radius 0.5) or whenever
+the image fits one tile (`RenderConfig.max_lanes >= W*H` lanes). With wider
+filters and multiple tiles the resumed result is still deterministic and
+equal up to float-summation reordering (~1 ulp per boundary pixel).
 """
 from __future__ import annotations
 
