@@ -107,6 +107,8 @@ def build_bvh(lo, hi, split_method="sah", max_prims=4):
             else:
                 order[start:end] = np.concatenate([sl[mask], sl[~mask]])
         else:  # sah (bvh/mod.rs:202-287) with equal-counts for tiny nodes
+            if count <= max_prims:
+                return make_leaf()
             if count <= 2:
                 ordr = np.argsort(c[:, dim], kind="stable")
                 order[start:end] = sl[ordr]
@@ -143,8 +145,12 @@ def build_bvh(lo, hi, split_method="sah", max_prims=4):
                     cnt_pre[:-1][valid] * a0[valid]
                     + cnt_suf[1:][valid] * a1[valid]) / sa_node
                 best = int(np.argmin(cost))
-                leaf_cost = INTERSECT_COST * count
-                if count > max_prims or cost[best] < leaf_cost:
+                # Leaf policy differs from the reference (bvh/mod.rs:262-287,
+                # which splits whenever SAH beats leaf_cost = count): the
+                # traversal kernel statically unrolls max_prims triangle
+                # tests per leaf VISIT, so a 1-tri leaf costs the same as a
+                # full one — pack leaves full and only split above max_prims.
+                if count > max_prims:
                     mask = b <= best
                     mid = int(mask.sum())
                     if mid == 0 or mid == count:
@@ -168,6 +174,83 @@ def build_bvh(lo, hi, split_method="sah", max_prims=4):
         sys.setrecursionlimit(old_limit)
     return (nodes_lo[:n_nodes].copy(), nodes_hi[:n_nodes].copy(),
             meta[:n_nodes].copy(), np.asarray(prim_out, np.int32))
+
+
+def thread_bvh(meta, leaf_id):
+    """Per-octant stackless threading: (hit, miss) links, both (8, N) int32.
+
+    For each of the 8 ray-direction octants we thread the tree in near-first
+    DFS order (the same visit order as the reference's stack traversal,
+    bvh/mod.rs:366-433, ordered by dir_is_neg[axis]):
+      hit[i]  = near child (interior) / = miss (leaf: test prims, move on)
+      miss[i] = DFS successor skipping i's subtree (-1 terminates)
+    Stackless traversal then needs only a node pointer per lane — no
+    (depth, lanes) stack state in the wavefront loop.
+
+    Vectorized via pointer doubling: a node's miss link is the far sibling
+    of its lowest ancestor-or-self that is a NEAR child (or -1 if that
+    chain hits the root).
+    """
+    n = meta.shape[0]
+    is_leaf = meta[:, 1] > 0
+    axis = meta[:, 2].astype(np.int32)
+    c2 = meta[:, 0].astype(np.int32)
+    interior = ~is_leaf
+
+    # parent of child1 (= i+1) and child2
+    parent = np.full(n, -1, np.int32)
+    ii = np.where(interior)[0].astype(np.int32)
+    parent[ii + 1] = ii
+    parent[c2[ii]] = ii
+
+    idx = np.arange(n, dtype=np.int32)
+    hit = np.zeros((8, n), np.int32)
+    miss = np.full((8, n), -1, np.int32)
+    safe_parent = np.maximum(parent, 0)
+    pax = axis[safe_parent]
+    pc1 = safe_parent + 1
+    pc2 = c2[safe_parent]
+    for o in range(8):
+        neg_p = ((o >> pax) & 1).astype(bool)        # parent's dir_is_neg
+        near_p = np.where(neg_p, pc2, pc1)           # parent's near child
+        far_p = np.where(neg_p, pc1, pc2)
+        is_near = (idx == near_p) & (parent >= 0)
+        # pointer-double to the lowest near-child ancestor-or-self
+        anchor = np.where(is_near | (parent < 0), idx, parent)
+        for _ in range(int(np.ceil(np.log2(max(n, 2)))) + 1):
+            anchor = anchor[anchor]
+        m = np.where(is_near[anchor], far_p[anchor], -1).astype(np.int32)
+        m[0] = -1
+        neg = ((o >> axis) & 1).astype(bool)
+        near = np.where(neg, c2, idx + 1)
+        miss[o] = m
+        hit[o] = np.where(interior, near, m)
+    return hit, miss
+
+
+def pack_threaded(nodes_lo, nodes_hi, meta, leaf_id):
+    """(8*N, 8) float32 per-octant threaded node records for the traversal
+    kernel: [lo.xyz, hi.xyz, w6, w7] where
+      w6 (int32 bits) = leaf: leaf_id | 1<<31 (negative); interior: hit link
+      w7 (int32 bits) = miss link
+    Links are pre-offset into the octant's own copy (oct*N + target), so the
+    kernel's node pointer indexes this array directly with no per-step add;
+    -1 stays the terminate sentinel."""
+    n = meta.shape[0]
+    hit, miss = thread_bvh(meta, leaf_id)
+    is_leaf = meta[:, 1] > 0
+    out = np.zeros((8, n, 8), np.float32)
+    out[:, :, 0:3] = nodes_lo[None]
+    out[:, :, 3:6] = nodes_hi[None]
+    for o in range(8):
+        off = np.int32(o * n)
+        h = np.where(hit[o] >= 0, hit[o] + off, -1).astype(np.int32)
+        m = np.where(miss[o] >= 0, miss[o] + off, -1).astype(np.int32)
+        w6 = np.where(is_leaf,
+                      (leaf_id | np.int32(-2**31)).astype(np.int32), h)
+        out[o, :, 6] = w6.view(np.float32)
+        out[o, :, 7] = m.view(np.float32)
+    return out.reshape(8 * n, 8)
 
 
 def build_bvh_arrays(quad, tris, split_method="sah", max_prims=4):
@@ -229,6 +312,7 @@ def build_bvh_arrays(quad, tris, split_method="sah", max_prims=4):
         leaf_packed[:, k * 10:k * 10 + 9] = verts[:, k].reshape(L, 9)
         leaf_packed[:, k * 10 + 9] = tids[:, k].view(np.float32)
 
+    threaded = pack_threaded(nodes_lo, nodes_hi, meta, child)
     return dict(bvh_lo=nodes_lo, bvh_hi=nodes_hi, bvh_meta=meta,
                 bvh_prims=prims, bvh_nodes_packed=packed,
-                bvh_leaf_packed=leaf_packed)
+                bvh_leaf_packed=leaf_packed, bvh_threaded=threaded)

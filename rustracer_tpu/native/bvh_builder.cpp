@@ -156,6 +156,13 @@ int build_bvh_sah(const float* lo_in, const float* hi_in, int32_t n,
                 mid = count / 2;
             }
         } else {  // sah (bvh/mod.rs:202-287), equal-counts for tiny nodes
+            // leaf policy parity with accel/bvh.py: the traversal kernel
+            // pays a full max_prims-wide test per leaf visit, so pack
+            // leaves full instead of splitting below max_prims
+            if (count <= max_prims) {
+                make_leaf();
+                continue;
+            }
             if (count <= 2) {
                 std::stable_sort(sl, sl + count, [&](int32_t a, int32_t b) {
                     return centroid[a][dim] < centroid[b][dim];
@@ -224,9 +231,7 @@ int build_bvh_sah(const float* lo_in, const float* hi_in, int32_t n,
                             sa_node;
                     if (cost < best_cost) { best_cost = cost; best = b; }
                 }
-                const float leaf_cost = INTERSECT_COST * count;
-                if (best >= 0 &&
-                    (count > max_prims || best_cost < leaf_cost)) {
+                if (best >= 0) {  // count > max_prims here: must split
                     int32_t* split = std::stable_partition(
                         sl, sl + count,
                         [&](int32_t p) { return bucket_of(p) <= best; });

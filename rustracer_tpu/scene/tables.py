@@ -53,6 +53,7 @@ class GeometryTables(NamedTuple):
     bvh_prims: jnp.ndarray    # (P,) int32 ordered global prim ids
     bvh_nodes_packed: jnp.ndarray  # (N, 8): lo(3) hi(3) child mp (bitcast)
     bvh_leaf_packed: jnp.ndarray   # (L, 40): 4 x [p0 p1 p2 tid] baked tris
+    bvh_threaded: jnp.ndarray      # (8N, 8): per-octant stackless links
 
     @property
     def n_quadrics(self):
@@ -107,6 +108,7 @@ def make_geometry(quadrics: Optional[dict] = None, tris: Optional[dict] = None,
                    bvh_prims=np.zeros(1, np.int32))
     bvh.setdefault("bvh_nodes_packed", np.zeros((1, 8), np.float32))
     bvh.setdefault("bvh_leaf_packed", np.zeros((1, 40), np.float32))
+    bvh.setdefault("bvh_threaded", np.zeros((1, 8), np.float32))
     merged = {}
     merged.update(q)
     merged.update(t)
