@@ -1,32 +1,45 @@
-"""Headline benchmark: path-traced Cornell box, rays/s on one chip.
+"""Headline benchmarks on one chip. Prints ONE JSON line.
 
-Config 2 from BASELINE.md: Cornell box + diffuse area light, path integrator
-with NEE+MIS, 256x256 @ 16spp, max_depth 5. The metric is *camera rays per
-second* (W*H*spp / wall_s, steady-state, post-compile) — the same quantity the
-reference prints per run ("Camera rays traced", rustracer-core/src/renderer.rs:17).
+Headline metric (BASELINE.md config 4): dragon-class mesh — 327k-triangle
+procedural scan stand-in (utils/meshgen.py; no network for the real dragon
+PLY), path integrator with NEE+MIS, 1024x1024 @ 64spp, max_depth 5. Value is
+*camera rays per second* (W*H*spp / wall_s, steady-state, post-compile) — the
+quantity the reference prints per run ("Camera rays traced",
+rustracer-core/src/renderer.rs:17).
+
+"extra" carries the secondary metrics:
+  - cornell_fwd_rays_per_s        (config 2: 256x256 @ 16spp path)
+  - cornell_fwdbwd_rays_per_s     (config 2 forward+backward: value_and_grad
+                                   of an image loss w.r.t. material textures)
 
 The reference publishes no numbers (BASELINE.md); the baseline divisor is the
 self-defined 1.0 Mray/s figure recorded in BASELINE.md for a single-CPU
 PBRT-class tracer, so vs_baseline = value / 1e6.
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
 import os
 import sys
 import time
 
+
+def log(msg):
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "tests"))
 
-RES = (256, 256)
-SPP = 16
-MAX_DEPTH = 5
 BASELINE_RAYS_PER_S = 1.0e6
 
+CORNELL_RES = (256, 256)
+CORNELL_SPP = 16
+DRAGON_RES = (1024, 1024)
+DRAGON_SPP = 64
+MAX_DEPTH = 5
 
-def build():
+
+def build_cornell():
     import jax.numpy as jnp
     from helpers import cornell_box, cornell_camera
     from rustracer_tpu.render.film import Film
@@ -46,30 +59,105 @@ def build():
         ms.add(MatteMaterial(kd=ConstantTexture(f"kd{i}")))
     ctx = RenderContext(geom=geom, lights=lights,
                         textures={"const": const, "images": []})
-    cam = cornell_camera(RES)
-    film = Film(full_resolution=RES, filter=Filter("box", 0.5, 0.5))
-    sampler = SamplerConfig(kind="02sequence", spp=SPP)
+    cam = cornell_camera(CORNELL_RES)
+    film = Film(full_resolution=CORNELL_RES, filter=Filter("box", 0.5, 0.5))
+    sampler = SamplerConfig(kind="02sequence", spp=CORNELL_SPP)
     integ = PathIntegrator(mat_set=ms, max_depth=MAX_DEPTH)
     return ctx, cam, film, sampler, integ
 
 
-def main():
-    import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+def build_dragon():
+    """Config 4 stand-in: 327k-tri bumpy sphere on a ground plane under an
+    area light (the real dragon/ganesha PLYs are not fetchable offline)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from rustracer_tpu.utils.meshgen import bumpy_sphere
+    from rustracer_tpu.accel.bvh import build_bvh_arrays
+    from rustracer_tpu.core.transform import Transform
+    from rustracer_tpu.render.camera import PerspectiveCamera
+    from rustracer_tpu.render.film import Film
+    from rustracer_tpu.render.filters import Filter
+    from rustracer_tpu.render.renderer import RenderContext
+    from rustracer_tpu.render.sampler import SamplerConfig
+    from rustracer_tpu.scene.lights import make_lights, LIGHT_AREA
+    from rustracer_tpu.scene.materials import MaterialSet, MatteMaterial
+    from rustracer_tpu.scene.textures import ConstantTexture
+    from rustracer_tpu.integrators.path import PathIntegrator
+
+    mv, mn, mf = bumpy_sphere(subdivisions=7, radius=1.0)  # 327,680 tris
+    n_mesh = mf.shape[0]
+
+    # ground quad + light quad (2 tris each), appended after the mesh
+    extra_v = np.array([
+        [-12, -1.25, -12], [12, -1.25, -12], [12, -1.25, 12], [-12, -1.25, 12],
+        # light: 2x2 quad at y=3.0 facing down (wound so ng points -y)
+        [-1, 3.0, -1], [1, 3.0, -1], [1, 3.0, 1], [-1, 3.0, 1],
+    ], np.float32)
+    base = mv.shape[0]
+    extra_f = np.array([
+        [base, base + 1, base + 2], [base, base + 2, base + 3],       # ground
+        [base + 4, base + 6, base + 5], [base + 4, base + 7, base + 6],  # light
+    ], np.int32)
+
+    tv_p = np.concatenate([mv, extra_v])
+    tv_n = np.concatenate([mn, np.zeros((8, 3), np.float32)])
+    tv_uv = np.zeros((tv_p.shape[0], 2), np.float32)
+    tv_s = np.zeros_like(tv_p)
+    t_idx = np.concatenate([mf, extra_f])
+    n_tris = t_idx.shape[0]
+    t_material = np.concatenate([
+        np.full(n_mesh, 1, np.int32), np.array([0, 0, 2, 2], np.int32)])
+    t_arealight = np.concatenate([
+        np.full(n_mesh + 2, -1, np.int32), np.array([0, 1], np.int32)])
+    tris = dict(
+        tv_p=tv_p, tv_n=tv_n, tv_uv=tv_uv, tv_s=tv_s, t_idx=t_idx,
+        t_material=t_material, t_arealight=t_arealight,
+        t_reverse=np.zeros(n_tris, bool),
+        t_has_n=np.concatenate([np.ones(n_mesh, bool), np.zeros(4, bool)]),
+        t_has_uv=np.zeros(n_tris, bool),
+        t_alpha_tex=np.full(n_tris, -1, np.int32),
+    )
+    from rustracer_tpu.scene.tables import make_geometry
+    bvh = build_bvh_arrays(None, tris)
+    geom = make_geometry(tris=tris, bvh=bvh)
+
+    nq = 1  # dummy quadric pad
+    emit = (18.0, 18.0, 18.0)
+    rows = [dict(type=LIGHT_AREA, pos=(0, 0, 0), emit=emit,
+                 prim=nq + n_mesh + 2, twosided=False),
+            dict(type=LIGHT_AREA, pos=(0, 0, 0), emit=emit,
+                 prim=nq + n_mesh + 3, twosided=False)]
+    lights = make_lights(rows, world_center=(0, 0.5, 0), world_radius=20.0)
+
+    ms = MaterialSet()
+    const = {"kd_floor": jnp.asarray([0.6, 0.6, 0.6], jnp.float32),
+             "kd_dragon": jnp.asarray([0.55, 0.45, 0.35], jnp.float32),
+             "kd_black": jnp.asarray([0.0, 0.0, 0.0], jnp.float32)}
+    ms.add(MatteMaterial(kd=ConstantTexture("kd_floor")))
+    ms.add(MatteMaterial(kd=ConstantTexture("kd_dragon")))
+    ms.add(MatteMaterial(kd=ConstantTexture("kd_black")))
+    ctx = RenderContext(geom=geom, lights=lights,
+                        textures={"const": const, "images": []})
+    c2w = Transform.look_at([0.0, 1.1, -3.4], [0.0, 0.0, 0.0], [0, 1, 0])
+    cam = PerspectiveCamera.create(c2w, fov=42.0, resolution=DRAGON_RES)
+    film = Film(full_resolution=DRAGON_RES, filter=Filter("box", 0.5, 0.5))
+    sampler = SamplerConfig(kind="02sequence", spp=DRAGON_SPP)
+    integ = PathIntegrator(mat_set=ms, max_depth=MAX_DEPTH)
+    return ctx, cam, film, sampler, integ, n_tris
+
+
+def bench_forward(ctx, cam, film, sampler, integ, res, spp, n_runs,
+                  max_lanes=1 << 16):
     import numpy as np
     from rustracer_tpu.render.renderer import Renderer, RenderConfig
 
-    ctx, cam, film, sampler, integ = build()
-    cfg = RenderConfig(max_lanes=RES[0] * RES[1])
+    cfg = RenderConfig(max_lanes=max_lanes, collect_stats=False)
     r = Renderer(integ.li, cam, film, sampler, cfg)
-
-    # warmup / compile
-    img = r.render(ctx)
-    np.asarray(img)
-    assert np.isfinite(np.asarray(img)).all(), "non-finite radiance in bench"
-
-    n_runs = 5
+    # warmup / compile (1 spp over all tiles)
+    log(f"forward {res}@{spp}: compiling ...")
+    fs = r.render_state(ctx, sample_stop=1)
+    np.asarray(film.to_image(fs))
+    log(f"forward {res}@{spp}: compiled; timing {n_runs} runs")
     times = []
     for _ in range(n_runs):
         t0 = time.perf_counter()
@@ -77,13 +165,98 @@ def main():
         np.asarray(img)  # block
         times.append(time.perf_counter() - t0)
     best = min(times)
-    camera_rays = RES[0] * RES[1] * SPP
-    value = camera_rays / best
+    assert np.isfinite(np.asarray(img)).all(), "non-finite radiance in bench"
+    return res[0] * res[1] * spp / best
+
+
+def bench_cornell_fwdbwd(ctx, cam, film, sampler, integ, n_runs=3):
+    """Forward+backward rays/s: value_and_grad of a full-render image loss
+    w.r.t. the material textures (BASELINE.json fwd+bwd metric)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from rustracer_tpu.render.renderer import Lanes, scrub_radiance
+    from rustracer_tpu.render.sampler import DimAllocator
+
+    res = CORNELL_RES
+    xr, yr = res
+    xs, ys = np.meshgrid(np.arange(xr, dtype=np.int32),
+                         np.arange(yr, dtype=np.int32))
+    px = jnp.asarray(xs.ravel())
+    py = jnp.asarray(ys.ravel())
+    pixel_idx = (py.astype(jnp.uint32) * jnp.uint32(xr)
+                 + px.astype(jnp.uint32))
+    pixel_xy = jnp.stack([px, py], axis=-1).astype(jnp.float32)
+
+    spp_bwd = min(4, sampler.spp)  # fwd+bwd metric uses a 4-spp loss
+
+    def sample_radiance(textures, s):
+        c = ctx._replace(textures=textures)
+        lanes = Lanes(pixel_idx=pixel_idx,
+                      sample_idx=jnp.broadcast_to(s, pixel_idx.shape)
+                      .astype(jnp.uint32))
+        p_film, p_lens, _ = sampler.get_camera_sample(
+            pixel_xy, lanes.pixel_idx, lanes.sample_idx)
+        ray = cam.generate_ray_differential(p_film, p_lens)
+        dims = DimAllocator()
+        return scrub_radiance(integ.li(c, ray, lanes, sampler, dims))
+
+    sample_radiance = jax.checkpoint(sample_radiance)
+
+    def loss_fn(textures):
+        def body(acc, s):
+            return acc + sample_radiance(textures, s), None
+        total, _ = jax.lax.scan(body, jnp.zeros(pixel_idx.shape + (3,)),
+                                jnp.arange(spp_bwd, dtype=jnp.uint32))
+        mean_img = total / spp_bwd
+        return jnp.mean(mean_img ** 2)
+
+    vg = jax.jit(jax.value_and_grad(loss_fn))
+    log("fwd+bwd: compiling value_and_grad ...")
+    loss, grads = vg(ctx.textures)   # compile + warmup
+    jax.block_until_ready(grads)
+    assert np.isfinite(float(loss))
+    log("fwd+bwd: compiled; timing")
+    times = []
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        loss, grads = vg(ctx.textures)
+        jax.block_until_ready(grads)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    return res[0] * res[1] * spp_bwd / best
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    # config 2: Cornell forward + forward/backward
+    log("building cornell scene ...")
+    ctx, cam, film, sampler, integ = build_cornell()
+    cornell_fwd = bench_forward(ctx, cam, film, sampler, integ,
+                                CORNELL_RES, CORNELL_SPP, n_runs=5)
+    cornell_fwdbwd = bench_cornell_fwdbwd(ctx, cam, film, sampler, integ)
+
+    # config 4: dragon-class mesh stress
+    log("building dragon scene (mesh gen + SAH BVH + threading) ...")
+    ctx, cam, film, sampler, integ, n_tris = build_dragon()
+    log(f"dragon scene built: {n_tris} tris")
+    dragon_fwd = bench_forward(ctx, cam, film, sampler, integ,
+                               DRAGON_RES, DRAGON_SPP, n_runs=2,
+                               max_lanes=1 << 18)
+
     print(json.dumps({
-        "metric": "camera_rays_per_s_cornell_256_16spp_path",
-        "value": round(value, 1),
+        "metric": "camera_rays_per_s_dragon327k_1024_64spp_path",
+        "value": round(dragon_fwd, 1),
         "unit": "rays/s",
-        "vs_baseline": round(value / BASELINE_RAYS_PER_S, 3),
+        "vs_baseline": round(dragon_fwd / BASELINE_RAYS_PER_S, 3),
+        "extra": {
+            "dragon_tris": int(n_tris),
+            "cornell_fwd_rays_per_s": round(cornell_fwd, 1),
+            "cornell_fwdbwd_rays_per_s": round(cornell_fwdbwd, 1),
+        },
     }))
 
 

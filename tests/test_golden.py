@@ -1,0 +1,112 @@
+"""Golden-image regression gates, end-to-end through the PBRT parser.
+
+Reference parity evidence: the reference ships gallery renders
+(renders/rt-cornell-box.png, renders/material_tests/*.png) but as git-lfs
+POINTER files — no pixel data exists in the mounted tree and the sandbox has
+no network, so direct image comparison against the Rust reference is
+impossible. Instead this suite gates:
+  1. frozen self-goldens (tests/goldens/*.npz, regenerated only via
+     tools/gen_goldens.py) — any unintentional change to parser, BVH,
+     integrator, BSDF, or film shows up as a diff here;
+  2. structural properties of the classic Cornell box that any correct
+     renderer must satisfy (red/green bleed sides, light hot spot, energy
+     bounds) — these hold for the reference render as well.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from rustracer_tpu.scene.api import parse_scene
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GOLDEN_DIR = os.path.join(REPO, "tests", "goldens")
+
+_cache = {}
+
+
+def render_scene(name):
+    if name not in _cache:
+        api = parse_scene(os.path.join(REPO, "scenes", f"{name}.pbrt"))
+        _cache[name] = np.asarray(api.scene.render())
+    return _cache[name]
+
+
+def golden(name):
+    path = os.path.join(GOLDEN_DIR, f"{name}.npz")
+    if not os.path.exists(path):
+        pytest.skip(f"golden {path} missing; run tools/gen_goldens.py")
+    return np.load(path)["img"]
+
+
+def assert_matches_golden(name, mean_tol=2e-3, p99_tol=2e-2):
+    img = render_scene(name)
+    ref = golden(name)
+    assert img.shape == ref.shape
+    assert np.isfinite(img).all()
+    err = np.abs(img - ref)
+    scale = max(float(ref.mean()), 1e-3)
+    mean_err = float(err.mean()) / scale
+    p99 = float(np.percentile(err, 99)) / scale
+    assert mean_err < mean_tol and p99 < p99_tol, \
+        f"{name}: mean_rel_err={mean_err:.5f} p99_rel={p99:.5f}"
+
+
+class TestCornellGolden:
+    def test_matches_golden(self):
+        assert_matches_golden("cornell-box")
+
+    def test_structure(self):
+        """Properties the reference render rt-cornell-box.png also shows."""
+        img = render_scene("cornell-box")
+        h, w, _ = img.shape
+        # color bleeding: camera-left strip redder, camera-right greener
+        # (red wall at x=552.8 appears on the LEFT from the -z camera)
+        left = img[h // 4: 3 * h // 4, : w // 5]
+        right = img[h // 4: 3 * h // 4, -w // 5:]
+        assert left[..., 0].mean() > 1.5 * left[..., 1].mean()
+        assert right[..., 1].mean() > 1.5 * right[..., 0].mean()
+        # the light is the brightest region and sits top-center
+        yx = np.unravel_index(np.argmax(img.sum(-1)), (h, w))
+        assert yx[0] < h // 3
+        assert w // 4 < yx[1] < 3 * w // 4
+        # bounded energy: no pixel brighter than emitter + one bounce
+        assert img.max() <= 20.0
+        # global brightness in a sane band (regression canary)
+        assert 0.05 < img.mean() < 1.0
+
+    def test_deterministic(self):
+        """Stateless sampling ⇒ re-render is bit-identical."""
+        api = parse_scene(os.path.join(REPO, "scenes", "cornell-box.pbrt"))
+        a = np.asarray(api.scene.render())
+        b = np.asarray(api.scene.render())
+        np.testing.assert_array_equal(a, b)
+
+
+class TestMaterialTestballs:
+    @pytest.mark.parametrize("name", ["testball-matte", "testball-plastic",
+                                      "testball-metal", "testball-glass",
+                                      "testball-mirror"])
+    def test_matches_golden(self, name):
+        assert_matches_golden(name)
+
+    def test_materials_differ(self):
+        """Each material produces a distinct render of the same scene."""
+        imgs = {n: render_scene(n) for n in
+                ["testball-matte", "testball-metal", "testball-glass",
+                 "testball-mirror"]}
+        names = list(imgs)
+        for i, a in enumerate(names):
+            for b in names[i + 1:]:
+                diff = np.abs(imgs[a] - imgs[b]).mean()
+                assert diff > 1e-3, f"{a} vs {b} identical ({diff})"
+
+    def test_mirror_reflects_checker(self):
+        """The mirror ball must show the checkered floor: high contrast
+        inside the ball region (a matte ball there is near-uniform)."""
+        img = render_scene("testball-mirror")
+        h, w, _ = img.shape
+        ball = img[h // 3: 2 * h // 3, w // 3: 2 * w // 3].sum(-1)
+        matte = render_scene("testball-matte")
+        mball = matte[h // 3: 2 * h // 3, w // 3: 2 * w // 3].sum(-1)
+        assert ball.std() > 1.5 * mball.std()
