@@ -520,8 +520,61 @@ class MixMaterial(Material):
         return scale(rows1, amt) + scale(rows2, 1.0 - amt)
 
 
+def _dummy_si(bs=(1,)):
+    """Minimal Interaction batch for structural/uniform material evaluation."""
+    z = jnp.zeros(bs, jnp.float32)
+    z3 = jnp.zeros(bs + (3,), jnp.float32)
+    zhat = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), bs + (3,))
+    return Interaction(
+        valid=jnp.ones(bs, bool), t=z, p=z3, p_error=z3, wo=zhat, n=zhat,
+        uv=jnp.zeros(bs + (2,), jnp.float32), dpdu=z3, dpdv=z3, ns=zhat,
+        ss=z3, ts=z3, material=jnp.zeros(bs, jnp.int32),
+        arealight=jnp.zeros(bs, jnp.int32), prim_id=jnp.zeros(bs, jnp.int32),
+        dudx=z, dvdx=z, dudy=z, dvdy=z, dpdx=z3, dpdy=z3)
+
+
+class _PermissiveConsts(dict):
+    """const-texture dict that yields zeros for unknown keys (structural
+    row counting only — never used for real shading)."""
+
+    def __missing__(self, key):
+        return jnp.zeros(3, jnp.float32)
+
+
+class _PermissiveImages(list):
+    def __getitem__(self, i):
+        return [jnp.zeros((1, 1, 3), jnp.float32)]
+
+
+class _DummyCtx:
+    textures = {"const": _PermissiveConsts(), "images": _PermissiveImages()}
+
+
+def _is_uniform(m: Material) -> bool:
+    """True when every texture the material evaluates is a ConstantTexture
+    and there is no bump map — its lobe rows are identical across lanes, so
+    shade() can build them once and gather by material id."""
+    from .textures import ConstantTexture, Texture
+    if m.bump_tex is not None:
+        return False
+    for v in vars(m).values():
+        if isinstance(v, Material):
+            if not _is_uniform(v):
+                return False
+        elif isinstance(v, Texture) and not isinstance(v, ConstantTexture):
+            return False
+    return True
+
+
 class MaterialSet:
-    """Static registry: material id → Material; shade() = batched dispatch."""
+    """Static registry: material id → Material; shade() = batched dispatch.
+
+    Dispatch strategy (replaces the reference's per-hit virtual call,
+    interaction.rs:192-203): materials whose parameters are lane-invariant
+    (constant textures, no bump) are evaluated ONCE per trace into a
+    (n_materials, M, …) parameter table and gathered by material id —
+    O(types present), not O(n_materials × lanes). Only textured/bumped
+    materials pay a full-lane masked evaluation."""
 
     def __init__(self, materials: Optional[List[Material]] = None):
         self.materials: List[Material] = materials or []
@@ -539,15 +592,14 @@ class MaterialSet:
 
     @staticmethod
     def _n_rows(m: Material) -> int:
-        counts = {MatteMaterial: 1, PlasticMaterial: 2, MirrorMaterial: 1,
-                  GlassMaterial: 2, MetalMaterial: 1, SubstrateMaterial: 1,
-                  TranslucentMaterial: 4, UberMaterial: 5,
-                  FourierMaterial: 1}
-        if isinstance(m, DisneyMaterial):
-            return 8 if m.thin else 6
-        if isinstance(m, MixMaterial):
-            return MaterialSet._n_rows(m.m1) + MaterialSet._n_rows(m.m2)
-        return counts.get(type(m), 8)
+        """Structural row count: evaluate lobe_rows on a dummy lane (row
+        count depends only on material structure, never on texture data)."""
+        try:
+            return max(1, len(m.lobe_rows(_dummy_si(), _DummyCtx())))
+        except Exception:
+            if isinstance(m, MixMaterial):
+                return MaterialSet._n_rows(m.m1) + MaterialSet._n_rows(m.m2)
+            return 8  # conservative fallback
 
     def types_present(self) -> Tuple[int, ...]:
         s = set()
@@ -555,25 +607,63 @@ class MaterialSet:
             s |= m.lobe_types()
         return tuple(sorted(s)) or (B.LAMBERTIAN_REFL,)
 
+    def _pad_rows(self, rows, bs, M):
+        t_i, p_i, a_i = _rows_to_arrays(rows, bs)
+        k = t_i.shape[-1]
+        if k < M:
+            t_i = jnp.concatenate([t_i, jnp.zeros(bs + (M - k,), jnp.int32)], -1)
+            p_i = jnp.concatenate([p_i, jnp.zeros(bs + (M - k, 16))], -2)
+            a_i = jnp.concatenate([a_i, jnp.zeros(bs + (M - k,), bool)], -1)
+        return t_i, p_i, a_i
+
     def shade(self, si: Interaction, ctx):
         """→ (si with per-material bump applied, LobeStack)."""
         bs = si.t.shape
         M = self.max_lobes
+        uniform = [mid for mid, m in enumerate(self.materials)
+                   if _is_uniform(m)]
+        textured = [mid for mid in range(len(self.materials))
+                    if mid not in set(uniform)]
+
         lt = jnp.zeros(bs + (M,), jnp.int32)
         lp = jnp.zeros(bs + (M, 16), jnp.float32)
         la = jnp.zeros(bs + (M,), bool)
         eta = jnp.ones(bs, jnp.float32)
         ns, ss, ts = si.ns, si.ss, si.ts
-        for mid, mat in enumerate(self.materials):
+
+        if uniform:
+            # one-lane eval per uniform material → (n_mat, M[, 16]) tables
+            one = _dummy_si((1,))
+            tab_t, tab_p, tab_a, tab_e = [], [], [], []
+            for mid, mat in enumerate(self.materials):
+                if mid in set(uniform):
+                    t1, p1, a1 = self._pad_rows(mat.lobe_rows(one, ctx),
+                                                (1,), M)
+                    e1 = jnp.broadcast_to(mat.eta_value(one, ctx), (1,))
+                else:
+                    t1 = jnp.zeros((1, M), jnp.int32)
+                    p1 = jnp.zeros((1, M, 16), jnp.float32)
+                    a1 = jnp.zeros((1, M), bool)
+                    e1 = jnp.ones((1,), jnp.float32)
+                tab_t.append(t1[0])
+                tab_p.append(p1[0])
+                tab_a.append(a1[0])
+                tab_e.append(e1[0])
+            tab_t = jnp.stack(tab_t)
+            tab_p = jnp.stack(tab_p)
+            tab_a = jnp.stack(tab_a)
+            tab_e = jnp.stack(tab_e)
+            mid_c = jnp.clip(si.material, 0, len(self.materials) - 1)
+            lt = tab_t[mid_c]
+            lp = tab_p[mid_c]
+            la = tab_a[mid_c]
+            eta = tab_e[mid_c]
+
+        for mid in textured:
+            mat = self.materials[mid]
             sel = si.material == mid
             si_b = mat.apply_bump(si, ctx)
-            rows = mat.lobe_rows(si_b, ctx)
-            t_i, p_i, a_i = _rows_to_arrays(rows, bs)
-            k = t_i.shape[-1]
-            if k < M:
-                t_i = jnp.concatenate([t_i, jnp.zeros(bs + (M - k,), jnp.int32)], -1)
-                p_i = jnp.concatenate([p_i, jnp.zeros(bs + (M - k, 16))], -2)
-                a_i = jnp.concatenate([a_i, jnp.zeros(bs + (M - k,), bool)], -1)
+            t_i, p_i, a_i = self._pad_rows(mat.lobe_rows(si_b, ctx), bs, M)
             lt = jnp.where(sel[..., None], t_i, lt)
             lp = jnp.where(sel[..., None, None], p_i, lp)
             la = jnp.where(sel[..., None], a_i, la)
