@@ -38,6 +38,10 @@ class Interaction(NamedTuple):
     dvdy: jnp.ndarray
     dpdx: jnp.ndarray         # (..., 3)
     dpdy: jnp.ndarray         # (..., 3)
+    # shading-normal derivatives (interaction.rs shading.dndu/dndv) — drive
+    # specular ray-differential propagation (integrator/mod.rs:49-142)
+    dndu: jnp.ndarray = None  # (..., 3)
+    dndv: jnp.ndarray = None  # (..., 3)
 
     def spawn_ray(self, d):
         """Robustly offset a new ray (reference interaction.rs:205)."""

@@ -5,6 +5,8 @@ cosine-weighted hemisphere occlusion probes from the first hit.
 """
 from __future__ import annotations
 
+import dataclasses
+
 import jax.numpy as jnp
 
 from ..core.math import face_forward
@@ -12,8 +14,23 @@ from ..core.sampling import cosine_sample_hemisphere
 from ..scene.tables import scene_intersect, scene_intersect_p
 
 
-def li(ctx, ray, lanes, sampler, dims, n_samples=16):
+@dataclasses.dataclass(frozen=True)
+class AOIntegrator:
+    """Class form with material plumbing: bump-mapped shading normals
+    shift the occlusion hemisphere exactly as the reference's
+    compute_scattering_functions does before ao.rs:32-58 probes."""
+    mat_set: object = None
+    n_samples: int = 16
+
+    def li(self, ctx, ray, lanes, sampler, dims):
+        return li(ctx, ray, lanes, sampler, dims, n_samples=self.n_samples,
+                  mat_set=self.mat_set)
+
+
+def li(ctx, ray, lanes, sampler, dims, n_samples=16, mat_set=None):
     si = scene_intersect(ctx.geom, ray)
+    if mat_set is not None:
+        si, _ = mat_set.shade(si, ctx)   # bump-mapped ns/ss/ts
     n = face_forward(si.ns, si.wo)
     occ = jnp.zeros_like(si.t)
     for _ in range(n_samples):

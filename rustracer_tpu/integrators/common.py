@@ -52,11 +52,17 @@ def estimate_direct(ctx, mat_set, si, lobes, lid, u_light, u_scatter_lobe,
     li = jnp.where(vis[..., None], ls.li, 0.0)
     weight = jnp.where(ls.is_delta, 1.0,
                        power_heuristic(1.0, ls.pdf, 1.0, scattering_pdf))
+    # double-where on the pdf divisor: a non-finite masked-out pdf would
+    # otherwise poison gradients of f (0-cotangent * nan-forward = nan)
+    pdf_safe = jnp.where(contrib_possible, jnp.maximum(ls.pdf, 1e-12), 1.0)
     ld = jnp.where(contrib_possible[..., None],
-                   f * li * (weight / jnp.maximum(ls.pdf, 1e-12))[..., None],
-                   zero)
+                   f * li * (weight / pdf_safe)[..., None], zero)
 
     # --- BSDF sampling strategy (skip for delta lights) ---
+    if lt.all_delta:
+        # every light is a delta light: the BSDF side contributes nothing
+        # and its scene_intersect can be skipped entirely (static)
+        return ld
     wi_b, f_b, pdf_b, sampled_flags, ok_b = B.bsdf_sample_f(
         lobes, si, si.wo, u_scatter_lobe, u_scatter, types, flags)
     f_b = f_b * absdot(wi_b, si.ns)[..., None]
@@ -74,12 +80,108 @@ def estimate_direct(ctx, mat_set, si, lobes, lid, u_light, u_scatter_lobe,
     le_surf = jnp.where(hit_this_light[..., None], le_surf, 0.0)
     is_inf_row = lt.l_type[lid] == L.LIGHT_INFINITE
     le_escape = jnp.where((~si_b.valid & is_inf_row)[..., None],
-                          L.infinite_le(lt, wi_b), 0.0)
+                          L.infinite_le_one(lt, lid, wi_b), 0.0)
     li_b = le_surf + le_escape
+    pdf_b_safe = jnp.where(do_bsdf, jnp.maximum(pdf_b, 1e-12), 1.0)
     ld = ld + jnp.where(do_bsdf[..., None],
-                        f_b * li_b * (w_b / jnp.maximum(pdf_b, 1e-12))[..., None],
-                        zero)
+                        f_b * li_b * (w_b / pdf_b_safe)[..., None], zero)
     return ld
+
+
+def specular_diff_ray(ray: Ray, si, wi, eta, transmit: bool) -> Ray:
+    """Spawn a specular continuation ray, propagating ray differentials
+    (reference integrator/mod.rs:49-142). Reflection:
+      rx_dir = wi − dwodx + 2(wo·ns·dndx + dDNdx·ns)
+    Transmission uses PBRT's μ form. NOTE: the reference computes dmudx but
+    then uses dDNdx in the direction update (integrator/mod.rs:133-136, the
+    `_dmudx` binding is dead) — a port bug vs PBRT-v3; we use the correct
+    dmudx term."""
+    r = si.spawn_ray(wi)
+    if not ray.has_differentials:
+        return r
+    ns = si.ns
+    wo = si.wo
+    dndx = si.dndu * si.dudx[..., None] + si.dndv * si.dvdx[..., None]
+    dndy = si.dndu * si.dudy[..., None] + si.dndv * si.dvdy[..., None]
+    dwodx = -ray.rx_direction - wo
+    dwody = -ray.ry_direction - wo
+    ddndx = dot(dwodx, ns) + dot(wo, dndx)
+    ddndy = dot(dwody, ns) + dot(wo, dndy)
+    if not transmit:
+        won = dot(wo, ns)[..., None]
+        rx_d = wi - dwodx + 2.0 * (won * dndx + ddndx[..., None] * ns)
+        ry_d = wi - dwody + 2.0 * (won * dndy + ddndy[..., None] * ns)
+    else:
+        e = jnp.where(dot(wo, ns) < 0.0, 1.0 / jnp.maximum(eta, 1e-8), eta)
+        w = -wo
+        wn = dot(w, ns)
+        win = dot(wi, ns)
+        mu = e * wn - win
+        dmu = (e - (e * e * wn) / jnp.where(jnp.abs(win) > 1e-8, win, 1.0))
+        dmudx = dmu * ddndx
+        dmudy = dmu * ddndy
+        rx_d = wi + e[..., None] * dwodx - (mu[..., None] * dndx
+                                            + dmudx[..., None] * ns)
+        ry_d = wi + e[..., None] * dwody - (mu[..., None] * dndy
+                                            + dmudy[..., None] * ns)
+    return r._replace(rx_origin=si.p + si.dpdx, ry_origin=si.p + si.dpdy,
+                      rx_direction=rx_d, ry_direction=ry_d)
+
+
+def trace_specular_tree(ctx, mat_set, ray, lanes, sampler, dims, max_depth,
+                        direct_fn):
+    """Shared Whitted/direct-lighting driver: emitted + direct lighting per
+    depth, then DETERMINISTIC specular reflect+transmit branching — the
+    wavefront equivalent of the reference's recursive specular_reflection/
+    specular_transmission (whitted.rs:87-97, directlighting.rs via
+    integrator/mod.rs:49-142). Each branch statically unrolls, so the tree
+    has 2^depth wavefronts when transmissive specular materials are present
+    and a single chain otherwise (pruned via types_present)."""
+    from ..core.interaction import compute_differentials
+    types = mat_set.types_present()
+    lt = ctx.lights
+    has_refl = any(t in types for t in (B.SPECULAR_REFL, B.FRESNEL_SPECULAR))
+    has_trans = any(t in types for t in (B.SPECULAR_TRANS,
+                                         B.FRESNEL_SPECULAR))
+
+    def trace(ray, depth, live):
+        bs = ray.t_max.shape
+        si = scene_intersect(ctx.geom, ray)
+        si = compute_differentials(si, ray)
+        le_esc = L.infinite_le(lt, ray.d)
+        Lrad = jnp.where((live & ~si.valid)[..., None], le_esc, 0.0)
+        alive = live & si.valid & (si.material >= 0)
+        le = L.arealight_le(lt, si.arealight, si.n, si.wo)
+        Lrad = Lrad + jnp.where(alive[..., None], le, 0.0)
+
+        si_s, lobes = mat_set.shade(si, ctx)
+        lobes = lobes._replace(active=lobes.active & alive[..., None])
+        Lrad = Lrad + jnp.where(alive[..., None],
+                                direct_fn(si_s, lobes, dims), 0.0)
+
+        if depth + 1 < max_depth:
+            if has_refl:
+                wi, wgt, ok = B.specular_reflect_branch(lobes, si_s, si_s.wo,
+                                                        types)
+                live_r = alive & ok & jnp.any(wgt > 0.0, axis=-1)
+                r = specular_diff_ray(ray, si_s, wi, lobes.eta,
+                                      transmit=False)
+                sub = trace(r, depth + 1, live_r)
+                # wgt already equals f·|cosθ|/pdf for the deterministic
+                # single-lobe specular sample (R·Fresnel)
+                Lrad = Lrad + jnp.where(live_r[..., None], wgt * sub, 0.0)
+            if has_trans:
+                wi, wgt, ok = B.specular_transmit_branch(lobes, si_s,
+                                                         si_s.wo, types)
+                live_t = alive & ok & jnp.any(wgt > 0.0, axis=-1)
+                r = specular_diff_ray(ray, si_s, wi, lobes.eta,
+                                      transmit=True)
+                sub = trace(r, depth + 1, live_t)
+                Lrad = Lrad + jnp.where(live_t[..., None], wgt * sub, 0.0)
+        return Lrad
+
+    bs = ray.t_max.shape
+    return trace(ray, 0, jnp.ones(bs, bool))
 
 
 def uniform_sample_one_light(ctx, mat_set, si, lobes, sampler, lanes, dims):

@@ -26,6 +26,22 @@ class PathIntegrator:
     rr_threshold: float = 1.0
 
     def li(self, ctx, ray, lanes, sampler, dims):
+        return self._run(ctx, ray, lanes, sampler, dims)[0]
+
+    def li_aux(self, ctx, ray, lanes, sampler, dims):
+        """li plus per-lane auxiliary stats (path length — the bounce count
+        the reference's path.rs:18-19 int-distribution reports)."""
+        return self._run(ctx, ray, lanes, sampler, dims)
+
+    def tests_per_lane(self):
+        """Static intersection-test call counts per camera-ray lane in the
+        wavefront model (every lane executes every test): per bounce one
+        closest hit; per NEE one shadow probe + one BSDF-side closest hit
+        (reference counters scene.rs:9-20)."""
+        d = self.max_depth
+        return {"regular": 2 * d - 1, "shadow": d - 1}
+
+    def _run(self, ctx, ray, lanes, sampler, dims):
         types = self.mat_set.types_present()
         bs = ray.t_max.shape
         Lrad = jnp.zeros(bs + (3,), jnp.float32)
@@ -33,6 +49,7 @@ class PathIntegrator:
         eta_scale = jnp.ones(bs, jnp.float32)
         alive = jnp.ones(bs, bool)
         specular_bounce = jnp.zeros(bs, bool)
+        path_len = jnp.zeros(bs, jnp.int32)
 
         for bounce in range(self.max_depth):
             si = scene_intersect(ctx.geom, ray)
@@ -53,6 +70,7 @@ class PathIntegrator:
             Lrad = Lrad + beta * (le_hit + le_esc)
 
             alive = alive & si.valid & (si.material >= 0)
+            path_len = path_len + alive.astype(jnp.int32)
             if bounce == self.max_depth - 1:
                 break
 
@@ -102,4 +120,4 @@ class PathIntegrator:
                                  beta / jnp.maximum(1.0 - q, 1e-3)[..., None],
                                  beta)
 
-        return Lrad
+        return Lrad, path_len

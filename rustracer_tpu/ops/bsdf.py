@@ -551,6 +551,69 @@ def bsdf_pdf(lobes: LobeStack, si, wo_w, wi_w, types_present, flags=ALL):
     return jnp.where(ok_wo & (n > 0), out, 0.0)
 
 
+def specular_reflect_branch(lobes: LobeStack, si, wo_w, types_present):
+    """Deterministic perfect-mirror branch for Whitted/direct-lighting
+    (whitted.rs:87-97 via integrator/mod.rs specular_reflection): the
+    contribution weight is Σ over active specular-reflective lobes of
+    R·Fresnel — exactly f·|cosθ|/pdf for a single matching specular lobe
+    with pdf 1. Returns (wi_world, weight (B,3), present (B,))."""
+    wo = world_to_local(si.ss, si.ts, si.ns, wo_w)
+    wi = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], axis=-1)
+    wi_w = local_to_world(si.ss, si.ts, si.ns, wi)
+    cos_i = cos_theta(wi)
+    weight = jnp.zeros(wo.shape[:-1] + (3,), jnp.float32)
+    present = jnp.zeros(wo.shape[:-1], bool)
+    for T in (SPECULAR_REFL, FRESNEL_SPECULAR):
+        if T not in types_present:
+            continue
+        m = lobes.active & (lobes.type == T)
+        p = lobes.params
+        pa = p[..., 0:3]
+        if T == SPECULAR_REFL:
+            F = _fresnel(p[..., 13].astype(jnp.int32),
+                         cos_i[..., None] * jnp.ones_like(p[..., 9]), p)
+        else:
+            F = fr_dielectric(cos_i[..., None] * jnp.ones_like(p[..., 9]),
+                              jnp.ones_like(p[..., 9]), p[..., 9])[..., None]
+        weight = weight + jnp.sum(jnp.where(m[..., None], pa * F, 0.0),
+                                  axis=-2)
+        present = present | jnp.any(m, axis=-1)
+    ok = jnp.abs(wo[..., 2]) > 1e-8
+    return wi_w, jnp.where((present & ok)[..., None], weight, 0.0), \
+        present & ok
+
+
+def specular_transmit_branch(lobes: LobeStack, si, wo_w, types_present):
+    """Deterministic refraction branch (integrator/mod.rs
+    specular_transmission): weight = Σ T·(1−F)·η² over active specular-
+    transmissive lobes; total internal reflection zeroes the branch."""
+    wo = world_to_local(si.ss, si.ts, si.ns, wo_w)
+    cos_o = cos_theta(wo)
+    entering = cos_o > 0.0
+    weight = jnp.zeros(wo.shape[:-1] + (3,), jnp.float32)
+    present = jnp.zeros(wo.shape[:-1], bool)
+    # the lane's eta (one transmissive lobe per lane in practice)
+    eta = lobes.eta
+    e = jnp.where(entering, 1.0 / eta, eta)
+    n = jnp.where(entering[..., None],
+                  jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), wo.shape),
+                  jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0]), wo.shape))
+    wi, refr_ok = refract(wo, n, e)
+    wi_w = local_to_world(si.ss, si.ts, si.ns, wi)
+    F = fr_dielectric(cos_o, jnp.ones_like(eta), eta)
+    scale = ((1.0 - F) * e * e)[..., None]
+    for T in (SPECULAR_TRANS, FRESNEL_SPECULAR):
+        if T not in types_present:
+            continue
+        m = lobes.active & (lobes.type == T)
+        p = lobes.params
+        kt = p[..., 0:3] if T == SPECULAR_TRANS else p[..., 3:6]
+        weight = weight + jnp.sum(jnp.where(m[..., None], kt, 0.0), axis=-2)
+        present = present | jnp.any(m, axis=-1)
+    ok = present & refr_ok & (jnp.abs(wo[..., 2]) > 1e-8)
+    return wi_w, jnp.where(ok[..., None], weight * scale, 0.0), ok
+
+
 def bsdf_sample_f(lobes: LobeStack, si, wo_w, u_lobe, u2, types_present,
                   flags=ALL):
     """Sample a direction (bsdf/mod.rs:138-251).

@@ -149,3 +149,21 @@ def triangle_partial_derivs(p0, p1, p2, uv0, uv1, uv2):
     dpdu = jnp.where(degenerate[..., None], fb_u, dpdu)
     dpdv = jnp.where(degenerate[..., None], fb_v, dpdv)
     return dpdu, dpdv
+
+
+def triangle_normal_derivs(n0, n1, n2, uv0, uv1, uv2):
+    """Shading-normal derivatives dndu/dndv from vertex normals — the same
+    2x2 uv solve as the position derivatives (reference mesh.rs shading
+    dndu/dndv). Zero on a degenerate uv parameterization."""
+    duv02 = uv0 - uv2
+    duv12 = uv1 - uv2
+    dn02 = n0 - n2
+    dn12 = n1 - n2
+    det = duv02[..., 0] * duv12[..., 1] - duv02[..., 1] * duv12[..., 0]
+    degenerate = jnp.abs(det) < 1e-12
+    inv = 1.0 / jnp.where(degenerate, 1.0, det)
+    dndu = (duv12[..., 1, None] * dn02 - duv02[..., 1, None] * dn12) * inv[..., None]
+    dndv = (-duv12[..., 0, None] * dn02 + duv02[..., 0, None] * dn12) * inv[..., None]
+    z = jnp.zeros_like(dndu)
+    return (jnp.where(degenerate[..., None], z, dndu),
+            jnp.where(degenerate[..., None], z, dndv))

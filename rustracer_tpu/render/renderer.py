@@ -42,6 +42,7 @@ class RenderConfig:
     max_lanes: int = 1 << 16    # pixels per tile batch
     splat_scale: float = 1.0
     report_progress: bool = False
+    collect_stats: bool = True  # per-render counters (stats/mod.rs parity)
 
 
 def scrub_radiance(L, valid=None):
@@ -106,9 +107,31 @@ class Renderer:
             ray = camera.generate_ray_differential(p_film, p_lens)
             ray = ray.scaled_differentials(1.0 / np.sqrt(max(1, sampler.spp)))
             dims = DimAllocator()
-            L = li_fn(ctx, ray, lanes, sampler, dims)
+            out = li_fn(ctx, ray, lanes, sampler, dims)
+            L, path_len = out if isinstance(out, tuple) else (out, None)
             L = scrub_radiance(L)
-            return film.add_samples(fs, p_film, L, valid=v)
+            fs = film.add_samples(fs, p_film, L, valid=v)
+            if not self.config.collect_stats:
+                return fs, jnp.zeros(6, jnp.int32)
+            # per-step counters (fetched once per render, not per step):
+            # [camera rays, zero-radiance paths, plen sum, plen count,
+            #  plen min, plen max] — reference renderer.rs:17, path.rs:18-19
+            zero = v & ~jnp.any(L > 0.0, axis=-1)
+            if path_len is None:
+                plen = jnp.zeros(3, jnp.int32)  # sum, min, max (count 0)
+                pcnt = jnp.int32(0)
+            else:
+                pl = path_len.astype(jnp.int32)
+                big = jnp.int32(1 << 30)
+                plen = jnp.stack([
+                    jnp.sum(jnp.where(v, pl, 0)),
+                    jnp.min(jnp.where(v, pl, big)),
+                    jnp.max(jnp.where(v, pl, -1))])
+                pcnt = jnp.sum(v.astype(jnp.int32))
+            svec = jnp.stack([jnp.sum(v.astype(jnp.int32)),
+                              jnp.sum(zero.astype(jnp.int32)),
+                              plen[0], pcnt, plen[1], plen[2]])
+            return fs, svec
 
         self._step = jax.jit(masked_step, donate_argnums=(1,))
 
@@ -140,17 +163,63 @@ class Renderer:
         stop = self.sampler.spp if sample_stop is None else sample_stop
         n_tiles = len(self._tiles)
         t_start = time.time()
+        svecs = []
+        from ..utils import stats as S
+        first = not getattr(self, "_compiled", False)
+        compile_secs = 0.0
         for ti, (px, py, v) in enumerate(self._tiles):
             for s in range(sample_start, stop):
-                film_state = self._step(ctx, film_state, px, py,
-                                        jnp.uint32(s), v)
+                if first:
+                    # first step call = jit trace + XLA compile (+ 1 step)
+                    t0 = time.time()
+                    film_state, svec = self._step(ctx, film_state, px,
+                                                  py, jnp.uint32(s), v)
+                    jax.block_until_ready(svec)
+                    compile_secs = time.time() - t0
+                    S._phases["render/compile (first step)"] = \
+                        S._phases.get("render/compile (first step)", 0.0) \
+                        + compile_secs
+                    self._compiled = True
+                    first = False
+                else:
+                    film_state, svec = self._step(ctx, film_state, px, py,
+                                                  jnp.uint32(s), v)
+                svecs.append(svec)
             if self.config.report_progress:
                 done = (ti + 1) / n_tiles
                 el = time.time() - t_start
                 print(f"  tile {ti + 1}/{n_tiles} ({100 * done:.0f}%) "
                       f"elapsed {el:.1f}s eta {el / done - el:.1f}s",
                       flush=True)
+        if self.config.collect_stats and svecs:
+            jax.block_until_ready(film_state)
+            S._phases["render/steady"] = S._phases.get("render/steady", 0.0) \
+                + (time.time() - t_start) - compile_secs
+            self._report_stats(np.asarray(jnp.stack(svecs)))
         return film_state
+
+    def _report_stats(self, sv):
+        """Aggregate per-step counter vectors into the global stats registry
+        (reference counters: renderer.rs:17, scene.rs:9-20, path.rs:18-19)."""
+        from ..utils import stats as S
+        cam_rays = int(sv[:, 0].sum())
+        S.counter_add("Integrator/Camera rays traced", cam_rays)
+        S.percent_report("Integrator/Zero-radiance paths",
+                         int(sv[:, 1].sum()), cam_rays)
+        pcnt = int(sv[:, 3].sum())
+        if pcnt:
+            S.distribution_report("Integrator/Path length",
+                                  int(sv[:, 2].sum()), pcnt)
+            # fold exact min/max over steps into the distribution range
+            S._distributions["Integrator/Path length"] = (
+                int(sv[:, 2].sum()), pcnt,
+                int(sv[:, 4].min()), int(sv[:, 5].max()))
+        tests = getattr(self, "_tests_per_lane", None)
+        if tests:
+            S.counter_add("Intersections/Regular ray intersection tests",
+                          cam_rays * tests.get("regular", 0))
+            S.counter_add("Intersections/Shadow ray intersection tests",
+                          cam_rays * tests.get("shadow", 0))
 
     def render(self, ctx: RenderContext):
         """Full render → (H, W, 3) linear RGB image array."""

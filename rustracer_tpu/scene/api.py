@@ -152,7 +152,11 @@ class MeshRecord:
     material: int
     arealight_spec: Optional[tuple]
     reverse: bool
-    alpha_tex: int = -1
+    # float-texture OBJECTS (scene/textures.py nodes) or None; baked to the
+    # alpha atlas at bundle time (reference mesh.rs:38-39 alpha_mask /
+    # shadow_alpha_mask)
+    alpha_tex: object = None
+    shadow_alpha_tex: object = None
 
 
 @dataclasses.dataclass
@@ -174,7 +178,7 @@ class RenderOptions:
     lights: List[dict] = dataclasses.field(default_factory=list)
     quadrics: List[QuadricRecord] = dataclasses.field(default_factory=list)
     meshes: List[MeshRecord] = dataclasses.field(default_factory=list)
-    infinite_light: Optional[dict] = None
+    infinite_lights: List[dict] = dataclasses.field(default_factory=list)
     instances: Dict[str, list] = dataclasses.field(default_factory=dict)
     current_instance: Optional[str] = None
 
@@ -389,12 +393,13 @@ class RealApi:
                 type=LIGHT_DISTANT, pos=tuple(w), emit=tuple(l_emit * sc),
                 prim=-1))
         elif name == "infinite":
+            # the reference keeps a VECTOR of infinite lights (scene.rs:28-49)
             l_emit = params.find_one_spectrum("L", (1, 1, 1))
             sc = params.find_one_spectrum("scale", (1, 1, 1))
             mapname = params.find_one_filename("mapname", "")
-            self.render_options.infinite_light = dict(
+            self.render_options.infinite_lights.append(dict(
                 scale=tuple(l_emit * sc), mapname=mapname,
-                l2w=self.cur_transform.m.copy())
+                l2w=self.cur_transform.m.copy()))
         else:
             log.error("light type %r unknown (reference supports point/"
                       "distant/infinite + area)", name)
@@ -486,17 +491,21 @@ class RealApi:
             uv = params.find_point2("uv")
             if uv is None:
                 uv = params.find_point2("st")
-            alpha_name = params.find_texture_name("alpha", "")
-            alpha_tex = -1  # float alpha textures: tracked later
+            alpha = self._resolve_alpha_texture(params, "alpha")
+            shadow_alpha = self._resolve_alpha_texture(params, "shadowalpha")
             rec = MeshRecord(o2w, p, n, s, uv, idx.reshape(-1, 3), mid,
-                             al_spec, rev ^ o2w.swaps_handedness(), alpha_tex)
+                             al_spec, rev ^ o2w.swaps_handedness(),
+                             alpha, shadow_alpha)
             self._push_record(rec)
         elif name == "plymesh":
             fname = params.find_one_filename("filename", "")
             from ..utils.plyio import read_ply
             p, n, uv, idx = read_ply(fname)
+            alpha = self._resolve_alpha_texture(params, "alpha")
+            shadow_alpha = self._resolve_alpha_texture(params, "shadowalpha")
             rec = MeshRecord(o2w, p, n, None, uv, idx, mid, al_spec,
-                             rev ^ o2w.swaps_handedness())
+                             rev ^ o2w.swaps_handedness(),
+                             alpha, shadow_alpha)
             self._push_record(rec)
         elif name in ("cone", "paraboloid", "hyperboloid", "curve",
                       "loopsubdiv", "nurbs", "heightfield"):
@@ -505,6 +514,24 @@ class RealApi:
                                       "(matches reference api.rs:1134)")
         else:
             log.error("shape %r unknown", name)
+
+    def _resolve_alpha_texture(self, params, name):
+        """Alpha-mask texture resolution (reference mesh.rs:134-156): named
+        float texture, else a literal float 0 means fully masked."""
+        tex_name = params.find_texture_name(name, "")
+        if tex_name:
+            tex = self.graphics.float_textures.get(tex_name)
+            if tex is None:
+                log.error("couldn't find float texture %r for %r",
+                          tex_name, name)
+            return tex
+        if params.find_one_float(name, 1.0) == 0.0:
+            from .textures import ConstantTexture
+            t = ConstantTexture("__zero_alpha", is_spectrum=False)
+            self.textures.const.setdefault("__zero_alpha",
+                                           np.float32(0.0))
+            return t
+        return None
 
     def _push_record(self, rec):
         ro = self.render_options
@@ -786,11 +813,15 @@ class RealApi:
 
 def parse_scene(filename: str, options=None) -> RealApi:
     """pbrt/mod.rs:15-25: tokenize, init api, parse."""
+    from ..utils.stats import time_phase
     fileutil.set_search_directory(fileutil.directory_containing(filename))
-    tokens = tokenize_file(filename)
+    with time_phase("parse/tokenize"):
+        tokens = tokenize_file(filename)
     api = RealApi(options)
     api.init()
-    parse(tokens, api, include_dir=os.path.dirname(os.path.abspath(filename)))
+    with time_phase("parse/directives+build"):
+        parse(tokens, api,
+              include_dir=os.path.dirname(os.path.abspath(filename)))
     return api
 
 

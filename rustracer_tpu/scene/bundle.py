@@ -47,20 +47,72 @@ class SceneBundle:
     def render(self, progress=False, max_lanes=1 << 16, checkpoint=None,
                checkpoint_every=8):
         cfg = RenderConfig(max_lanes=max_lanes, report_progress=progress)
+        from ..render.renderer import Renderer
+        # use the aux-returning li when available so per-render stats
+        # (path length, zero-radiance %) are counted (stats/mod.rs parity)
+        li = getattr(self.integrator, "li_aux", None) or self.integrator.li
+        r = Renderer(li, self.camera, self.film, self.sampler, cfg)
+        tests = getattr(self.integrator, "tests_per_lane", None)
+        if tests:
+            r._tests_per_lane = tests()
         if checkpoint:
-            from ..render.renderer import Renderer
-            r = Renderer(self.integrator.li, self.camera, self.film,
-                         self.sampler, cfg)
             return r.render_checkpointed(self.context(), checkpoint,
                                          every_spp=checkpoint_every)
-        return render(self.context(), self.integrator.li, self.camera,
-                      self.film, self.sampler, cfg)
+        return r.render(self.context())
+
+
+def _bake_alpha(tex, textures):
+    """Bake a float alpha texture to an (H, W) grid for the geometry-side
+    alpha atlas. ImageTexture bakes at its native level-0 resolution; other
+    texture nodes are sampled on a 64x64 uv grid. The intersection kernels
+    bilerp this grid — a pure-data redesign of the reference's per-hit
+    Texture::evaluate alpha test (mesh.rs:355-367)."""
+    from ..core.interaction import Interaction
+    from .textures import ImageTexture, ConstantTexture
+    from types import SimpleNamespace
+    import jax.numpy as jnp
+    if isinstance(tex, ConstantTexture):
+        v = float(np.asarray(textures["const"][tex.key]).reshape(-1)[0])
+        return np.full((2, 2), v, np.float32)
+    if isinstance(tex, ImageTexture):
+        lv0 = np.asarray(textures["images"][tex.image_id][0])
+        res_v, res_u = lv0.shape[:2]
+    else:
+        res_v = res_u = 64
+    us = (np.arange(res_u, dtype=np.float32) + 0.5) / res_u
+    vs = (np.arange(res_v, dtype=np.float32) + 0.5) / res_v
+    uu, vv = np.meshgrid(us, vs)
+    n = uu.size
+    uv = jnp.asarray(np.stack([uu.ravel(), vv.ravel()], -1))
+    z = jnp.zeros(n, jnp.float32)
+    z3 = jnp.zeros((n, 3), jnp.float32)
+    si = Interaction(valid=jnp.ones(n, bool), t=z, p=z3, p_error=z3, wo=z3,
+                     n=z3, uv=uv, dpdu=z3, dpdv=z3, ns=z3, ss=z3, ts=z3,
+                     material=jnp.zeros(n, jnp.int32),
+                     arealight=jnp.zeros(n, jnp.int32),
+                     prim_id=jnp.zeros(n, jnp.int32),
+                     dudx=z, dvdx=z, dudy=z, dvdy=z, dpdx=z3, dpdy=z3)
+    ctx = SimpleNamespace(textures=textures)
+    val = np.asarray(tex.evaluate(si, ctx), np.float32).reshape(-1)[:n]
+    return val.reshape(res_v, res_u)
 
 
 def _emit_geometry(api):
     """Records → numpy SoA arrays + per-prim area-light row assignment."""
     ro = api.render_options
     light_rows = list(ro.lights)
+    textures_pytree = api.textures.pytree()
+    alpha_maps = []
+    alpha_ids = {}
+
+    def alpha_id(tex):
+        if tex is None:
+            return -1
+        key = id(tex)
+        if key not in alpha_ids:
+            alpha_maps.append(_bake_alpha(tex, textures_pytree))
+            alpha_ids[key] = len(alpha_maps) - 1
+        return alpha_ids[key]
 
     nq = len(ro.quadrics)
     quad = None
@@ -90,7 +142,8 @@ def _emit_geometry(api):
 
     # meshes: transform to world & concatenate (mesh.rs:30-60 world pre-xform)
     vs, ns_, uvs, ss_, idxs = [], [], [], [], []
-    t_mat, t_al, t_rev, t_has_n, t_has_uv, t_alpha = [], [], [], [], [], []
+    t_mat, t_al, t_rev, t_has_n, t_has_uv = [], [], [], [], []
+    t_alpha, t_shadow_alpha = [], []
     v_off = 0
     for rec in ro.meshes:
         p = rec.o2w.apply_point(rec.p)
@@ -119,7 +172,8 @@ def _emit_geometry(api):
         t_rev += [rec.reverse] * nt
         t_has_n += [has_n] * nt
         t_has_uv += [has_uv] * nt
-        t_alpha += [rec.alpha_tex] * nt
+        t_alpha += [alpha_id(rec.alpha_tex)] * nt
+        t_shadow_alpha += [alpha_id(rec.shadow_alpha_tex)] * nt
         if rec.arealight_spec is not None:
             emit, two = rec.arealight_spec
             # one DiffuseAreaLight per triangle (api.rs:934-946 semantics)
@@ -145,8 +199,20 @@ def _emit_geometry(api):
             t_has_n=np.array(t_has_n, bool),
             t_has_uv=np.array(t_has_uv, bool),
             t_alpha_tex=np.array(t_alpha, np.int32),
+            t_shadow_alpha_tex=np.array(t_shadow_alpha, np.int32),
         )
-    return quad, tris, light_rows
+
+    alpha = None
+    if alpha_maps:
+        flats = [m.ravel() for m in alpha_maps]
+        offs = np.concatenate([[0], np.cumsum([f.size for f in flats])[:-1]])
+        atlas = np.concatenate(flats).astype(np.float32)
+        meta = np.array([[o, m.shape[1], m.shape[0]]
+                         for o, m in zip(offs, alpha_maps)], np.int32)
+        if atlas.size <= 1:  # has_alpha is a static shape check (> 1)
+            atlas = np.concatenate([atlas, np.zeros(1, np.float32)])
+        alpha = dict(alpha_atlas=atlas, alpha_meta=meta)
+    return quad, tris, light_rows, alpha
 
 
 def _world_bounds(quad, tris):
@@ -172,7 +238,7 @@ def _world_bounds(quad, tris):
 
 def build_bundle(api) -> SceneBundle:
     ro = api.render_options
-    quad, tris, light_rows = _emit_geometry(api)
+    quad, tris, light_rows, alpha = _emit_geometry(api)
 
     # BVH over everything (accelerator "bvh"; api.rs:263-276)
     bvh = None
@@ -181,30 +247,29 @@ def build_bundle(api) -> SceneBundle:
     if n_prims > 8:
         try:
             from ..accel.bvh import build_bvh_arrays
+            from ..utils.stats import time_phase
             split = ro.accelerator_params.find_one_string("splitmethod", "sah")
             maxprims = ro.accelerator_params.find_one_int("maxnodeprims", 4)
-            bvh = build_bvh_arrays(quad, tris, split_method=split,
-                                   max_prims=maxprims)
+            with time_phase("scene/BVH build"):
+                bvh = build_bvh_arrays(quad, tris, split_method=split,
+                                       max_prims=maxprims)
         except ImportError:
             log.warning("BVH module unavailable; brute-force intersection")
 
-    geom = make_geometry(quadrics=quad, tris=tris, bvh=bvh)
+    geom = make_geometry(quadrics=quad, tris=tris, bvh=bvh, alpha=alpha)
     center, radius, world_lo, world_hi = _world_bounds(quad, tris)
 
-    inf = ro.infinite_light
-    inf_map = None
-    inf_l2w = None
-    inf_scale = None
-    if inf is not None:
+    infinite = []
+    for inf in ro.infinite_lights:
         if inf["mapname"]:
             from ..render.imageio import read_image
             inf_map = read_image(inf["mapname"])
         else:
             inf_map = np.ones((4, 8, 3), np.float32)
-        inf_l2w = inf["l2w"]
-        inf_scale = inf["scale"]
+        infinite.append(dict(map=inf_map, l2w=inf["l2w"],
+                             scale=inf["scale"]))
     lights = make_lights(light_rows, world_center=center, world_radius=radius,
-                         inf_map=inf_map, inf_l2w=inf_l2w, inf_scale=inf_scale)
+                         infinite=infinite)
 
     # film / filter / camera / sampler (api.rs:181-260 factories)
     filt = make_filter(ro.filter_name, ro.filter_params)
@@ -274,7 +339,10 @@ def build_bundle(api) -> SceneBundle:
         strategy = ip.find_one_string("lightsamplestrategy", "spatial")
         if strategy != "uniform" and lights.n_lights > 1:
             from .lightdistrib import build_spatial_grid
-            light_grid = build_spatial_grid(lights, geom, world_lo, world_hi)
+            from ..utils.stats import time_phase
+            with time_phase("scene/spatial light distribution"):
+                light_grid = build_spatial_grid(lights, geom, world_lo,
+                                                world_hi)
     elif iname == "directlighting":
         from ..integrators.direct import DirectLightingIntegrator
         strat = ip.find_one_string("strategy", "all")
@@ -286,30 +354,55 @@ def build_bundle(api) -> SceneBundle:
         integ = WhittedIntegrator(mat_set=ms,
                                   max_depth=ip.find_one_int("maxdepth", 5))
     elif iname in ("ao", "ambientocclusion"):
-        from ..integrators import ao as ao_mod
-
-        class _AO:
-            def __init__(self, n):
-                self.n = n
-
-            def li(self, ctx, ray, lanes, sampler, dims):
-                return ao_mod.li(ctx, ray, lanes, sampler, dims,
-                                 n_samples=self.n)
-        integ = _AO(ip.find_one_int("nsamples", 16))
+        from ..integrators.ao import AOIntegrator
+        integ = AOIntegrator(mat_set=ms,
+                             n_samples=ip.find_one_int("nsamples", 16))
     elif iname == "normal":
-        from ..integrators import normal as n_mod
-
-        class _N:
-            def li(self, ctx, ray, lanes, sampler, dims):
-                return n_mod.li(ctx, ray, lanes, sampler, dims)
-        integ = _N()
+        from ..integrators.normal import NormalIntegrator
+        integ = NormalIntegrator(mat_set=ms)
     else:
         log.warning("integrator %r unknown; using path", iname)
         from ..integrators.path import PathIntegrator
         integ = PathIntegrator(mat_set=ms, max_depth=5)
 
+    textures = api.textures.pytree()
+    _report_build_stats(geom, lights, ms, film, textures, tris, bvh,
+                        n_quadrics=len(ro.quadrics))
     return SceneBundle(
         geom=geom, lights=lights, material_set=ms,
-        textures=api.textures.pytree(), camera=camera, film=film,
+        textures=textures, camera=camera, film=film,
         sampler=sampler, integrator=integ, integrator_name=iname,
         filename=film.filename, light_grid=light_grid)
+
+
+def _report_build_stats(geom, lights, ms, film, textures, tris, bvh,
+                        n_quadrics=0):
+    """Scene-build counters, matching the reference's registered stats:
+    bvh/mod.rs:19-27 (node counts, prims/leaf, tree bytes), mesh.rs:21-23
+    (mesh memory), film.rs:19 (film memory), mipmap.rs:17-19 (mip memory),
+    scene.rs + api.rs counts."""
+    from ..utils import stats as S
+    n_tris = int(geom.n_triangles) if tris is not None else 0
+    S.counter_add("Scene/Triangles", n_tris)
+    S.counter_add("Scene/Quadric shapes", n_quadrics)
+    S.counter_add("Scene/Lights", int(lights.n_lights))
+    S.counter_add("Scene/Materials", len(ms.materials))
+    if tris is not None:
+        mesh_bytes = sum(np.asarray(tris[k]).nbytes for k in
+                         ("tv_p", "tv_n", "tv_uv", "tv_s", "t_idx"))
+        S.memory_add("Memory/Triangle meshes", mesh_bytes)
+    if bvh is not None:
+        meta = np.asarray(bvh["bvh_meta"])
+        is_leaf = meta[:, 1] > 0
+        n_leaf = int(is_leaf.sum())
+        S.counter_add("BVH/Interior nodes", int((~is_leaf).sum()))
+        S.counter_add("BVH/Leaf nodes", n_leaf)
+        S.ratio_report("BVH/Primitives per leaf node",
+                       int(meta[is_leaf, 1].sum()), n_leaf)
+        S.memory_add("Memory/BVH tree",
+                     sum(np.asarray(v).nbytes for v in bvh.values()))
+    xr, yr = film.full_resolution
+    S.memory_add("Memory/Film pixels", xr * yr * 4 * 4)
+    for pyr in textures.get("images", []):
+        S.memory_add("Memory/Texture MIP maps",
+                     sum(np.asarray(lv).nbytes for lv in pyr))

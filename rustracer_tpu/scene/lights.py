@@ -33,15 +33,26 @@ class LightTables(NamedTuple):
     l_twosided: jnp.ndarray   # (L,) bool
     world_center: jnp.ndarray  # (3,)
     world_radius: jnp.ndarray  # ()
-    # single infinite light (height-1 map = absent)
-    inf_map: jnp.ndarray      # (H, W, 3)
-    inf_l2w: jnp.ndarray      # (4, 4)
-    inf_w2l: jnp.ndarray      # (4, 4)
-    inf_dist: Distribution2D
+    # infinite lights — the reference caches a VECTOR of them
+    # (scene.rs:28-49); maps may differ in resolution so they travel as a
+    # tuple (static pytree structure), parallel to inf_rows.
+    inf_maps: tuple           # K x (H, W, 3)
+    inf_l2w: jnp.ndarray      # (K, 4, 4)
+    inf_w2l: jnp.ndarray      # (K, 4, 4)
+    inf_dists: tuple          # K x Distribution2D
+    inf_rows: jnp.ndarray     # (K,) int32 row index in the light table
+    # rows of NON-delta lights (area/infinite); empty shape is a STATIC
+    # signal that the BSDF-sampling side of MIS can be skipped entirely
+    # (estimate_direct traces no ray when every light is a delta light)
+    l_nondelta_rows: jnp.ndarray  # (A,) int32
 
     @property
     def n_lights(self):
         return self.l_type.shape[0]
+
+    @property
+    def all_delta(self):
+        return self.l_nondelta_rows.shape[0] == 0
 
     @property
     def has_lights(self):
@@ -49,18 +60,31 @@ class LightTables(NamedTuple):
 
     @property
     def has_infinite(self):
-        return self.inf_map.shape[0] > 1
+        return len(self.inf_maps) > 0
+
+    @property
+    def n_infinite(self):
+        return len(self.inf_maps)
 
 
 def make_lights(rows=None, world_center=(0, 0, 0), world_radius=100.0,
-                inf_map=None, inf_l2w=None, inf_scale=None) -> LightTables:
+                inf_map=None, inf_l2w=None, inf_scale=None,
+                infinite=None) -> LightTables:
     """Host-side assembly. rows: list of dicts with keys
-    (type, pos, emit, prim, twosided)."""
-    rows = rows or []
+    (type, pos, emit, prim, twosided). `infinite`: list of dicts
+    (map, l2w, scale); the single-light kwargs remain as a convenience."""
+    rows = list(rows or [])
+    infinite = list(infinite or [])
     if inf_map is not None:
-        rows = rows + [dict(type=LIGHT_INFINITE, pos=(0, 0, 0),
-                            emit=inf_scale if inf_scale is not None else (1, 1, 1),
-                            prim=-1, twosided=False)]
+        infinite.append(dict(map=inf_map, l2w=inf_l2w,
+                             scale=inf_scale if inf_scale is not None
+                             else (1, 1, 1)))
+    inf_rows = []
+    for spec in infinite:
+        rows.append(dict(type=LIGHT_INFINITE, pos=(0, 0, 0),
+                         emit=spec.get("scale", (1, 1, 1)), prim=-1,
+                         twosided=False))
+        inf_rows.append(len(rows) - 1)
     if not rows:
         rows = [dict(type=-1, pos=(0, 0, 0), emit=(0, 0, 0), prim=-1,
                      twosided=False)]
@@ -70,23 +94,29 @@ def make_lights(rows=None, world_center=(0, 0, 0), world_radius=100.0,
     l_prim = np.array([r.get("prim", -1) for r in rows], np.int32)
     l_two = np.array([r.get("twosided", False) for r in rows], bool)
 
-    if inf_map is None:
-        inf_map = np.zeros((1, 1, 3), np.float32)
-        inf_l2w = np.eye(4, dtype=np.float32)
-        inf_w2l = np.eye(4, dtype=np.float32)
-        dist = Distribution2D.create(jnp.ones((1, 1), jnp.float32))
-    else:
-        inf_map = np.asarray(inf_map, np.float32)
-        if inf_l2w is None:
-            inf_l2w = np.eye(4, dtype=np.float32)
-            inf_w2l = np.eye(4, dtype=np.float32)
-        else:
-            inf_w2l = np.linalg.inv(inf_l2w.astype(np.float64)).astype(np.float32)
+    inf_maps = []
+    inf_dists = []
+    l2ws = []
+    w2ls = []
+    for spec in infinite:
+        m = np.asarray(spec["map"], np.float32)
+        l2w = spec.get("l2w")
+        if l2w is None:
+            l2w = np.eye(4, dtype=np.float32)
+        l2w = np.asarray(l2w, np.float32)
+        w2l = np.linalg.inv(l2w.astype(np.float64)).astype(np.float32)
         # importance image: luminance x sin(theta) (infinite.rs:84-94)
-        h, w = inf_map.shape[:2]
-        lum = inf_map @ np.array([0.212671, 0.715160, 0.072169], np.float32)
+        h = m.shape[0]
+        lum = m @ np.array([0.212671, 0.715160, 0.072169], np.float32)
         sin_theta = np.sin(np.pi * (np.arange(h) + 0.5) / h).astype(np.float32)
-        dist = Distribution2D.create(jnp.asarray(lum * sin_theta[:, None]))
+        inf_maps.append(jnp.asarray(m))
+        inf_dists.append(Distribution2D.create(jnp.asarray(
+            lum * sin_theta[:, None])))
+        l2ws.append(l2w)
+        w2ls.append(w2l)
+    K = len(infinite)
+    inf_l2w_arr = np.stack(l2ws) if K else np.zeros((0, 4, 4), np.float32)
+    inf_w2l_arr = np.stack(w2ls) if K else np.zeros((0, 4, 4), np.float32)
 
     return LightTables(
         l_type=jnp.asarray(l_type), l_pos=jnp.asarray(l_pos),
@@ -94,8 +124,12 @@ def make_lights(rows=None, world_center=(0, 0, 0), world_radius=100.0,
         l_twosided=jnp.asarray(l_two),
         world_center=jnp.asarray(world_center, jnp.float32),
         world_radius=jnp.asarray(world_radius, jnp.float32),
-        inf_map=jnp.asarray(inf_map), inf_l2w=jnp.asarray(inf_l2w),
-        inf_w2l=jnp.asarray(inf_w2l), inf_dist=dist,
+        inf_maps=tuple(inf_maps), inf_l2w=jnp.asarray(inf_l2w_arr),
+        inf_w2l=jnp.asarray(inf_w2l_arr), inf_dists=tuple(inf_dists),
+        inf_rows=jnp.asarray(np.array(inf_rows, np.int32)),
+        l_nondelta_rows=jnp.asarray(np.array(
+            [i for i, r in enumerate(rows)
+             if r["type"] in (LIGHT_AREA, LIGHT_INFINITE)], np.int32)),
     )
 
 
@@ -130,11 +164,20 @@ def _sample_prim(geom, prim, u):
     o2w = geom.q_o2w[qid]
     w2o = geom.q_w2o[qid]
     radius = q_params[..., 0]
-    # sphere: uniform over full sphere (area lights with partial spheres are
-    # rare; pdf uses the matching full area)
-    sp_dir = uniform_sample_sphere(u)
-    sp_obj = radius[..., None] * sp_dir
-    sp_n_obj = sp_dir
+    # sphere: uniform-area sampling of the z/phi-CLIPPED region via
+    # Archimedes (z uniform in [zmin, zmax], phi uniform in [0, phimax] is
+    # exactly uniform in area), with the matching clipped area below. The
+    # reference samples the FULL sphere with a clipped-area pdf
+    # (sphere.rs:227-243 + area()) — inconsistent for partial spheres; this
+    # is the corrected estimator (identical for full spheres).
+    sp_z = q_params[..., 1] + u[..., 0] * (q_params[..., 2] - q_params[..., 1])
+    sp_phi = u[..., 1] * q_params[..., 3]
+    sp_sin = jnp.sqrt(jnp.maximum(
+        0.0, 1.0 - (sp_z / jnp.maximum(radius, 1e-8)) ** 2))
+    sp_n_obj = jnp.stack([sp_sin * jnp.cos(sp_phi),
+                          sp_sin * jnp.sin(sp_phi),
+                          sp_z / jnp.maximum(radius, 1e-8)], axis=-1)
+    sp_obj = radius[..., None] * sp_n_obj
     # disk: params [height, radius, inner_radius, phimax]
     d_xy = concentric_sample_disk(u) * q_params[..., 1, None]
     dk_obj = jnp.concatenate(
@@ -155,9 +198,8 @@ def _sample_prim(geom, prim, u):
     from ..core.transform import xform_normal
     qn = normalize(xform_normal(w2o, n_obj))
     qn = jnp.where(geom.q_reverse[qid][..., None], -qn, qn)
-    # sphere area uses full sphere (4 pi r^2) to match uniform_sample_sphere
-    q_area = jnp.where(q_type == SPHERE, 4.0 * PI * radius * radius,
-                       quadric_area(q_type, q_params))
+    # clipped area matches the clipped-region sampling above
+    q_area = quadric_area(q_type, q_params)
     q_err = jnp.abs(qp) * 1e-5 + 1e-6
 
     p = jnp.where(is_tri[..., None], tp, qp)
@@ -177,9 +219,7 @@ def prim_area(geom, prim):
                            geom.tv_p[idx[..., 2]])
     q_type = geom.q_type[qid]
     q_params = geom.q_params[qid]
-    q_area = jnp.where(q_type == SPHERE,
-                       4.0 * PI * q_params[..., 0] ** 2,
-                       quadric_area(q_type, q_params))
+    q_area = quadric_area(q_type, q_params)
     return jnp.where(is_tri, t_area, q_area)
 
 
@@ -198,30 +238,43 @@ class LightSample(NamedTuple):
     at_infinity: jnp.ndarray  # (B,) shadow ray is a direction probe
 
 
-def _inf_uv_to_dir(lt, uv):
+def _inf_uv_to_dir(lt, k, uv):
     theta = uv[..., 1] * PI
     phi = uv[..., 0] * 2.0 * PI
     st, ct = jnp.sin(theta), jnp.cos(theta)
     w_l = jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi), ct], axis=-1)
-    return xform_vector(lt.inf_l2w, w_l), st
+    return xform_vector(lt.inf_l2w[k], w_l), st
 
 
-def _inf_dir_to_uv(lt, w):
-    w_l = normalize(xform_vector(lt.inf_w2l, w))
+def _inf_dir_to_uv(lt, k, w):
+    w_l = normalize(xform_vector(lt.inf_w2l[k], w))
     theta = spherical_theta(w_l)
     phi = spherical_phi(w_l)
     return jnp.stack([phi / (2.0 * PI), theta / PI], axis=-1), jnp.sin(theta)
 
 
 def infinite_le(lt: LightTables, d):
-    """Radiance for escaped rays (infinite.rs le())."""
-    if not lt.has_infinite:
-        return jnp.zeros(d.shape[:-1] + (3,), jnp.float32)
-    uv, _ = _inf_dir_to_uv(lt, d)
-    # the emit scale of the infinite row
-    inf_rows = lt.l_type == LIGHT_INFINITE
-    scale = jnp.sum(jnp.where(inf_rows[:, None], lt.l_emit, 0.0), axis=0)
-    return bilerp_level(lt.inf_map, uv, WRAP_REPEAT) * scale
+    """Radiance for escaped rays: SUM over the scene's infinite lights
+    (reference scene.rs:51-63 sums infinite_lights le; infinite.rs le())."""
+    out = jnp.zeros(d.shape[:-1] + (3,), jnp.float32)
+    for k in range(lt.n_infinite):
+        uv, _ = _inf_dir_to_uv(lt, k, d)
+        scale = lt.l_emit[lt.inf_rows[k]]
+        out = out + bilerp_level(lt.inf_maps[k], uv, WRAP_REPEAT) * scale
+    return out
+
+
+def infinite_le_one(lt: LightTables, lid, d):
+    """Escaped-ray radiance from ONE infinite light (per-lane row id) —
+    the BSDF-sampling side of MIS must only count the light it sampled
+    (integrator/mod.rs:300-316 light.le(ray))."""
+    out = jnp.zeros(d.shape[:-1] + (3,), jnp.float32)
+    for k in range(lt.n_infinite):
+        uv, _ = _inf_dir_to_uv(lt, k, d)
+        le = bilerp_level(lt.inf_maps[k], uv, WRAP_REPEAT) * \
+            lt.l_emit[lt.inf_rows[k]]
+        out = jnp.where((lid == lt.inf_rows[k])[..., None], le, out)
+    return out
 
 
 def sample_li(lt: LightTables, geom, lid, si, u) -> LightSample:
@@ -257,14 +310,25 @@ def sample_li(lt: LightTables, geom, lid, si, u) -> LightSample:
     pdf_a = dist2_a / jnp.maximum(jnp.abs(cos_l) * area, 1e-12)
     pdf_a = jnp.where(facing, pdf_a, 0.0)
 
-    # infinite (infinite.rs:35-220)
+    # infinite (infinite.rs:35-220): each infinite light has its own map /
+    # CDF / frame; evaluate masked by the sampled row (lid == inf_rows[k])
     if lt.has_infinite:
-        uv_s, map_pdf = lt.inf_dist.sample_continuous(u)
-        wi_inf, sin_t = _inf_uv_to_dir(lt, uv_s)
-        pdf_inf = map_pdf / jnp.maximum(2.0 * PI * PI * sin_t, 1e-9)
-        pdf_inf = jnp.where(sin_t > 1e-7, pdf_inf, 0.0)
-        li_inf = bilerp_level(lt.inf_map, uv_s, WRAP_REPEAT) * emit
-        p_inf = p + wi_inf * (2.0 * lt.world_radius)
+        wi_inf = wi_pt
+        pdf_inf = jnp.zeros(B)
+        li_inf = jnp.zeros(B + (3,))
+        p_inf = p_di
+        for k in range(lt.n_infinite):
+            mine = lid == lt.inf_rows[k]
+            uv_s, map_pdf = lt.inf_dists[k].sample_continuous(u)
+            wi_k, sin_t = _inf_uv_to_dir(lt, k, uv_s)
+            pdf_k = map_pdf / jnp.maximum(2.0 * PI * PI * sin_t, 1e-9)
+            pdf_k = jnp.where(sin_t > 1e-7, pdf_k, 0.0)
+            li_k = bilerp_level(lt.inf_maps[k], uv_s, WRAP_REPEAT) * emit
+            wi_inf = jnp.where(mine[..., None], wi_k, wi_inf)
+            pdf_inf = jnp.where(mine, pdf_k, pdf_inf)
+            li_inf = jnp.where(mine[..., None], li_k, li_inf)
+            p_inf = jnp.where(mine[..., None],
+                              p + wi_k * (2.0 * lt.world_radius), p_inf)
     else:
         wi_inf = wi_pt
         pdf_inf = jnp.zeros(B)
@@ -344,11 +408,12 @@ def pdf_li(lt: LightTables, geom, lid, si, wi):
                                 dist2 / jnp.maximum(cos_l * area, 1e-12), 0.0)
     pdf = jnp.where(ltype == LIGHT_AREA, pdf_area_lights, pdf)
 
-    if lt.has_infinite:
-        uv, sin_t = _inf_dir_to_uv(lt, wi)
-        p_inf = lt.inf_dist.pdf(uv) / jnp.maximum(2.0 * PI * PI * sin_t, 1e-9)
+    for k in range(lt.n_infinite):
+        uv, sin_t = _inf_dir_to_uv(lt, k, wi)
+        p_inf = lt.inf_dists[k].pdf(uv) / jnp.maximum(
+            2.0 * PI * PI * sin_t, 1e-9)
         p_inf = jnp.where(sin_t > 1e-7, p_inf, 0.0)
-        pdf = jnp.where(ltype == LIGHT_INFINITE, p_inf, pdf)
+        pdf = jnp.where(lid == lt.inf_rows[k], p_inf, pdf)
     return pdf
 
 
@@ -371,12 +436,13 @@ def light_power(lt: LightTables, geom):
     pw_point = 4.0 * PI * lum
     pw_dist = PI * lt.world_radius ** 2 * lum
     pw_area = lum * area * PI * jnp.where(lt.l_twosided, 2.0, 1.0)
-    if lt.has_infinite:
-        avg = jnp.mean(jnp.sum(lt.inf_map * jnp.asarray(
+    pw_inf = jnp.zeros_like(lum)
+    for k in range(lt.n_infinite):
+        avg = jnp.mean(jnp.sum(lt.inf_maps[k] * jnp.asarray(
             [0.212671, 0.715160, 0.072169]), -1))
-        pw_inf = PI * lt.world_radius ** 2 * lum * avg
-    else:
-        pw_inf = jnp.zeros_like(lum)
+        pw_k = PI * lt.world_radius ** 2 * lum * avg
+        pw_inf = jnp.where(jnp.arange(lt.n_lights) == lt.inf_rows[k],
+                           pw_k, pw_inf)
     pw = jnp.where(lt.l_type == LIGHT_POINT, pw_point,
                    jnp.where(lt.l_type == LIGHT_DISTANT, pw_dist,
                              jnp.where(lt.l_type == LIGHT_AREA, pw_area,

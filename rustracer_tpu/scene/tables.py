@@ -45,7 +45,11 @@ class GeometryTables(NamedTuple):
     t_reverse: jnp.ndarray    # (T,) bool
     t_has_n: jnp.ndarray      # (T,) bool
     t_has_uv: jnp.ndarray     # (T,) bool
-    t_alpha_tex: jnp.ndarray  # (T,) int32 float-texture id for alpha mask (-1 none)
+    t_alpha_tex: jnp.ndarray  # (T,) int32 alpha-atlas id (-1 none)
+    t_shadow_alpha_tex: jnp.ndarray  # (T,) int32 shadow-alpha atlas id
+    # baked alpha-mask atlas (bundle.py::_bake_alpha); length-1 = disabled
+    alpha_atlas: jnp.ndarray  # (A,) float32 flattened texels
+    alpha_meta: jnp.ndarray   # (K, 3) int32 [offset, width, height]
     # flattened BVH over ALL primitives (see accel/bvh.py); length-1 = disabled
     bvh_lo: jnp.ndarray       # (N, 3) node AABB min
     bvh_hi: jnp.ndarray       # (N, 3) node AABB max
@@ -66,6 +70,12 @@ class GeometryTables(NamedTuple):
     @property
     def has_bvh(self):
         return self.bvh_meta.shape[0] > 1
+
+    @property
+    def has_alpha(self):
+        """Static (shape-based) — scenes without alpha masks keep the plain
+        intersection kernels with zero overhead."""
+        return self.alpha_atlas.shape[0] > 1
 
 
 def _dummy_quadric():
@@ -97,10 +107,16 @@ def _dummy_tris():
 
 
 def make_geometry(quadrics: Optional[dict] = None, tris: Optional[dict] = None,
-                  bvh: Optional[dict] = None) -> GeometryTables:
+                  bvh: Optional[dict] = None,
+                  alpha: Optional[dict] = None) -> GeometryTables:
     """Assemble (host-side, numpy in) → GeometryTables (jnp out)."""
     q = quadrics if quadrics and len(quadrics.get("q_type", [])) else _dummy_quadric()
     t = tris if tris and len(tris.get("t_idx", [])) else _dummy_tris()
+    t.setdefault("t_shadow_alpha_tex",
+                 np.full(len(t["t_idx"]), -1, np.int32))
+    if alpha is None:
+        alpha = dict(alpha_atlas=np.ones(1, np.float32),
+                     alpha_meta=np.zeros((1, 3), np.int32))
     if bvh is None:
         bvh = dict(bvh_lo=np.zeros((1, 3), np.float32),
                    bvh_hi=np.zeros((1, 3), np.float32),
@@ -113,6 +129,7 @@ def make_geometry(quadrics: Optional[dict] = None, tris: Optional[dict] = None,
     merged.update(q)
     merged.update(t)
     merged.update(bvh)
+    merged.update(alpha)
     return GeometryTables(**{k: jnp.asarray(v) for k, v in merged.items()})
 
 
@@ -204,11 +221,8 @@ def intersect_triangles_brute(tables: GeometryTables, ray: Ray):
     return hit, jnp.where(hit, t_best, INFINITY), jnp.maximum(tid, 0)
 
 
-def scene_intersect(tables: GeometryTables, ray: Ray) -> Interaction:
-    """Closest-hit over the whole scene → full SurfaceInteraction batch.
-
-    Triangles go through the BVH when present (accel/traverse.py); quadric
-    counts are tiny and stay brute-force either way."""
+def _closest_prim(tables: GeometryTables, ray: Ray):
+    """Closest hit over quadrics + triangles → (hit, t, global prim id)."""
     nq = tables.n_quadrics
     qhit, qt, qid = intersect_quadrics_all(tables, ray)
     if tables.has_bvh:
@@ -222,11 +236,148 @@ def scene_intersect(tables: GeometryTables, ray: Ray) -> Interaction:
     hit = qhit | thit
     t = jnp.where(use_tri, tt, qt)
     prim = jnp.where(use_tri, tid + nq, qid)
+    return hit, t, prim
+
+
+def _alpha_at(tables: GeometryTables, aid, uv):
+    """Bilinear sample of the baked alpha atlas (wrap repeat). aid < 0 → 1."""
+    meta = tables.alpha_meta[jnp.maximum(aid, 0)]
+    off = meta[..., 0]
+    w = meta[..., 1]
+    h = meta[..., 2]
+    wf = jnp.maximum(w, 1).astype(jnp.float32)
+    hf = jnp.maximum(h, 1).astype(jnp.float32)
+    u = uv[..., 0] * wf - 0.5
+    v = uv[..., 1] * hf - 0.5
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    du = u - u0
+    dv = v - v0
+    u0 = u0.astype(jnp.int32)
+    v0 = v0.astype(jnp.int32)
+    wi = jnp.maximum(w, 1)
+    hi = jnp.maximum(h, 1)
+
+    def texel(ui, vi):
+        ui = jnp.mod(ui, wi)
+        vi = jnp.mod(vi, hi)
+        return tables.alpha_atlas[off + vi * wi + ui]
+
+    a = (texel(u0, v0) * (1 - du) * (1 - dv)
+         + texel(u0 + 1, v0) * du * (1 - dv)
+         + texel(u0, v0 + 1) * (1 - du) * dv
+         + texel(u0 + 1, v0 + 1) * du * dv)
+    return jnp.where(aid >= 0, a, 1.0)
+
+
+def _tri_hit_uv(tables: GeometryTables, ray: Ray, t, tid):
+    """Interpolated uv of triangle `tid` at ray parameter ~t."""
+    idx = tables.t_idx[tid]
+    p0 = tables.tv_p[idx[..., 0]]
+    p1 = tables.tv_p[idx[..., 1]]
+    p2 = tables.tv_p[idx[..., 2]]
+    th = triangle_intersect(ray.o, ray.d, t * 1.0001 + 1e-4, p0, p1, p2)
+    has_uv = tables.t_has_uv[tid]
+    z = jnp.zeros_like(t)
+    o = jnp.ones_like(t)
+    uv0 = jnp.where(has_uv[..., None], tables.tv_uv[idx[..., 0]],
+                    jnp.stack([z, z], -1))
+    uv1 = jnp.where(has_uv[..., None], tables.tv_uv[idx[..., 1]],
+                    jnp.stack([o, z], -1))
+    uv2 = jnp.where(has_uv[..., None], tables.tv_uv[idx[..., 2]],
+                    jnp.stack([o, o], -1))
+    return (th.b0[..., None] * uv0 + th.b1[..., None] * uv1
+            + th.b2[..., None] * uv2)
+
+
+def _closest_with_alpha(tables: GeometryTables, ray: Ray, cols,
+                        max_rounds=64):
+    """Closest hit honoring alpha cutouts: hits whose alpha evaluates to 0
+    are skipped by re-tracing from just past the rejected surface
+    (reference mesh.rs:355-367 rejects per-triangle; the wavefront re-trace
+    visits the same surfaces in order). `cols` lists the per-triangle
+    alpha-atlas columns to test (camera: alpha; shadow: alpha+shadowalpha,
+    mesh.rs:572-577)."""
+    nq = tables.n_quadrics
+    bs = ray.t_max.shape
+
+    def trace_round(t_off):
+        o2 = ray.o + ray.d * t_off[..., None]
+        r2 = ray._replace(o=o2, t_max=ray.t_max - t_off)
+        hit, t, prim = _closest_prim(tables, r2)
+        is_tri = hit & (prim >= nq)
+        tid = jnp.clip(jnp.where(is_tri, prim - nq, 0), 0,
+                       tables.n_triangles - 1)
+        uv = _tri_hit_uv(tables, r2, t, tid)
+        rej = jnp.zeros(bs, bool)
+        for col in cols:
+            aid = jnp.where(is_tri, col[tid], -1)
+            rej = rej | (is_tri & (aid >= 0) & (_alpha_at(tables, aid, uv)
+                                                == 0.0))
+        return hit, t, prim, rej
+
+    hit0, t0, prim0, rej0 = trace_round(jnp.zeros(bs, jnp.float32))
+    # loop state carries the rejected surface's local t so the next round
+    # restarts just past it
+    state = (jnp.zeros(bs, jnp.float32),                 # t_off
+             jnp.where(rej0, False, hit0),               # accepted hit
+             jnp.where(rej0, INFINITY, t0),              # accepted local t
+             jnp.where(rej0, -1, prim0),                 # accepted prim
+             rej0 & hit0,                                # pending re-trace
+             jnp.zeros((), jnp.int32),                   # round counter
+             jnp.where(rej0, t0, 0.0))                   # rejected local t
+
+    def body2(s):
+        t_off, hit, t_loc, prim, pending, k, rej_t = s
+        t_off = jnp.where(pending,
+                          t_off + rej_t * 1.0001 + 1e-5, t_off)
+        h2, t2, p2, rej2 = trace_round(t_off)
+        accept = pending & ~rej2
+        hit = jnp.where(accept, h2, hit)
+        t_loc = jnp.where(accept, t2, t_loc)
+        prim = jnp.where(accept, p2, prim)
+        rej_t = jnp.where(pending & rej2, t2, rej_t)
+        pending = pending & rej2 & h2 & (t_off < ray.t_max)
+        return (t_off, hit, t_loc, prim, pending, k + 1, rej_t)
+
+    def cond2(s):
+        return jnp.any(s[4]) & (s[5] < max_rounds)
+
+    t_off, hit, t_loc, prim, _, _, _ = jax.lax.while_loop(cond2, body2,
+                                                          state)
+    t = jnp.where(hit, t_off + t_loc, INFINITY)
+    prim = jnp.where(hit, jnp.maximum(prim, 0), 0)
+    return hit, t, prim, t_off
+
+
+def scene_intersect(tables: GeometryTables, ray: Ray) -> Interaction:
+    """Closest-hit over the whole scene → full SurfaceInteraction batch.
+
+    Triangles go through the BVH when present (accel/traverse.py); quadric
+    counts are tiny and stay brute-force either way. Alpha-masked scenes
+    re-trace past cutout hits (mesh.rs alpha semantics)."""
+    if tables.has_alpha:
+        hit, t, prim, t_off = _closest_with_alpha(
+            tables, ray, cols=(tables.t_alpha_tex,))
+        # rebuild the interaction against the advanced ray so the winning
+        # surface is re-intersected exactly
+        ray_adv = ray._replace(o=ray.o + ray.d * t_off[..., None],
+                               t_max=ray.t_max - t_off)
+        si = build_interaction(tables, ray_adv, hit,
+                               jnp.where(hit, t - t_off, INFINITY), prim)
+        return si._replace(t=jnp.where(hit, t, INFINITY))
+    hit, t, prim = _closest_prim(tables, ray)
     return build_interaction(tables, ray, hit, t, prim)
 
 
 def scene_intersect_p(tables: GeometryTables, ray: Ray):
     """Any-hit (shadow) test: returns (...) bool occluded."""
+    if tables.has_alpha:
+        # shadow rays honor BOTH alpha and shadowalpha (mesh.rs:572-577)
+        hit, _, _, _ = _closest_with_alpha(
+            tables, ray,
+            cols=(tables.t_alpha_tex, tables.t_shadow_alpha_tex))
+        return hit
     qhit, _, _ = intersect_quadrics_all(tables, ray)
     if tables.has_bvh:
         from ..accel.traverse import bvh_intersect_p_triangles
@@ -272,6 +423,18 @@ def build_interaction(tables: GeometryTables, ray: Ray, hit, t, prim) -> Interac
     q_n = normalize(cross(q_dpdu, q_dpdv))
     q_rev = tables.q_reverse[qid]
     q_n = jnp.where(q_rev[..., None], -q_n, q_n)
+    # normal derivatives (sphere: n = p/r so dn/du = dp/du / r — exact;
+    # cylinder: dn/du = dp/du / r, dn/dv = 0; disk: flat, 0). The reference
+    # computes these via the Weingarten equations (sphere.rs/cylinder.rs);
+    # for these quadrics the closed forms coincide.
+    radius = q_params[..., 0]
+    inv_r = 1.0 / jnp.maximum(radius, 1e-8)
+    ku = jnp.where(q_type == 2, 0.0, inv_r)              # disk → 0
+    kv = jnp.where(q_type == 0, inv_r, 0.0)              # sphere only
+    q_dndu = xform_normal(w2o, qh.dpdu * ku[..., None])
+    q_dndv = xform_normal(w2o, qh.dpdv * kv[..., None])
+    q_dndu = jnp.where(q_rev[..., None], -q_dndu, q_dndu)
+    q_dndv = jnp.where(q_rev[..., None], -q_dndv, q_dndv)
     q_uv = qh.uv
     q_mat = tables.q_material[qid]
     q_al = tables.q_arealight[qid]
@@ -306,6 +469,16 @@ def build_interaction(tables: GeometryTables, ray: Ray, hit, t, prim) -> Interac
     t_ns = jnp.where(has_n[..., None], n_interp, t_ng)
     # keep geometric normal on the same side as shading normal (mesh.rs)
     t_ng = jnp.where(has_n[..., None], face_forward(t_ng, t_ns), t_ng)
+    # shading-normal derivatives from vertex normals (mesh.rs dndu/dndv)
+    from ..ops.triangle import triangle_normal_derivs
+    n0 = tables.tv_n[idx[..., 0]]
+    n1 = tables.tv_n[idx[..., 1]]
+    n2v = tables.tv_n[idx[..., 2]]
+    t_dndu, t_dndv = triangle_normal_derivs(n0, n1, n2v, uv0, uv1, uv2)
+    t_dndu = jnp.where((has_n & ~t_rev)[..., None], t_dndu,
+                       jnp.where((has_n & t_rev)[..., None], -t_dndu, 0.0))
+    t_dndv = jnp.where((has_n & ~t_rev)[..., None], t_dndv,
+                       jnp.where((has_n & t_rev)[..., None], -t_dndv, 0.0))
     t_mat = tables.t_material[tid]
     t_al = tables.t_arealight[tid]
 
@@ -318,6 +491,8 @@ def build_interaction(tables: GeometryTables, ray: Ray, hit, t, prim) -> Interac
     uv = w(t_uv, q_uv)
     dpdu = w(t_dpdu, q_dpdu)
     dpdv = w(t_dpdv, q_dpdv)
+    dndu = w(t_dndu, q_dndu)
+    dndv = w(t_dndv, q_dndv)
     ns = w(t_ns, q_n)
     material = ws(t_mat, q_mat)
     arealight = ws(t_al, q_al)
@@ -325,6 +500,27 @@ def build_interaction(tables: GeometryTables, ray: Ray, hit, t, prim) -> Interac
     zero3 = jnp.zeros_like(p)
     zero = jnp.zeros_like(t)
     neg1 = jnp.full(t.shape, -1, jnp.int32)
+    # Sanitize miss lanes: the masked quadric/triangle math above runs at
+    # t=INFINITY for misses and produces non-finite p/n/dpdu. Downstream code
+    # masks them out of the *forward* result, but any product `a * nan`
+    # poisons the cotangent of `a` in the backward pass (0 * nan = nan), so
+    # gradients w.r.t. material/light parameters would turn NaN. Pin miss
+    # lanes to finite placeholders instead.
+    h3 = hit[..., None]
+    zhat = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), p.shape)
+    xhat = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), p.shape)
+    yhat = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), p.shape)
+    p = jnp.where(h3, p, ray.o)
+    p_error = jnp.where(h3, p_error, 0.0)
+    n = jnp.where(h3, n, zhat)
+    ns = jnp.where(h3, ns, zhat)
+    ss = jnp.where(h3, ss, xhat)
+    ts = jnp.where(h3, ts, yhat)
+    uv = jnp.where(h3, uv, 0.0)
+    dpdu = jnp.where(h3, dpdu, xhat)
+    dpdv = jnp.where(h3, dpdv, yhat)
+    dndu = jnp.where(h3 & jnp.isfinite(dndu), dndu, 0.0)
+    dndv = jnp.where(h3 & jnp.isfinite(dndv), dndv, 0.0)
     return Interaction(
         valid=hit, t=t, p=p, p_error=p_error, wo=normalize(-ray.d),
         n=n, uv=uv, dpdu=dpdu, dpdv=dpdv, ns=ns, ss=ss, ts=ts,
@@ -332,4 +528,5 @@ def build_interaction(tables: GeometryTables, ray: Ray, hit, t, prim) -> Interac
         arealight=jnp.where(hit, arealight, neg1),
         prim_id=jnp.where(hit, prim, neg1),
         dudx=zero, dvdx=zero, dudy=zero, dvdy=zero, dpdx=zero3, dpdy=zero3,
+        dndu=dndu, dndv=dndv,
     )

@@ -32,6 +32,10 @@ def main(argv=None):
                         "SURVEY §5.4)")
     p.add_argument("--checkpoint-every", type=int, default=8, metavar="SPP",
                    help="samples/pixel between checkpoints (default 8)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax profiler (xprof) trace of the render "
+                        "to DIR (SURVEY §5.1 — the reference has no "
+                        "profiler; PBRT's ProfilePhase was not ported)")
     args = p.parse_args(argv)
 
     logging.basicConfig(
@@ -46,7 +50,7 @@ def main(argv=None):
         import jax
         jax.config.update("jax_platforms", "cpu")
 
-    from ..utils.stats import init_stats, print_stats
+    from ..utils.stats import init_stats, print_stats, print_phases
     from ..scene.api import parse_scene
     init_stats()
 
@@ -68,11 +72,18 @@ def main(argv=None):
         max_lanes = 1 << max(10, min(22, args.threads))
 
     t1 = time.time()
+    if args.profile:
+        import jax
+        jax.profiler.start_trace(args.profile)
     img = bundle.render(progress=args.progress, max_lanes=max_lanes,
                         checkpoint=args.checkpoint,
                         checkpoint_every=args.checkpoint_every)
     import numpy as np
     img = np.asarray(img)
+    if args.profile:
+        import jax
+        jax.profiler.stop_trace()
+        print(f"wrote xprof trace to {args.profile}")
     t_render = time.time() - t1
     print(f"render time: {t_render:.2f}s")
 
@@ -80,6 +91,7 @@ def main(argv=None):
     from ..render.imageio import write_image
     write_image(out, img)
     print(f"wrote {out}")
+    print_phases()
     print_stats()
     return 0
 

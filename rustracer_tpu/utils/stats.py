@@ -18,6 +18,7 @@ _memory: Dict[str, int] = {}
 _distributions: Dict[str, Tuple[int, int, int, int]] = {}  # sum, count, min, max
 _percents: Dict[str, Tuple[int, int]] = {}
 _ratios: Dict[str, Tuple[int, int]] = {}
+_phases: Dict[str, float] = {}  # per-phase wall seconds (SURVEY §5.1)
 
 
 def init_stats():
@@ -27,6 +28,36 @@ def init_stats():
     _distributions.clear()
     _percents.clear()
     _ratios.clear()
+    _phases.clear()
+
+
+class time_phase:
+    """Context manager accumulating wall time under a phase name — the
+    per-phase observability the reference lacks (only a render-time print,
+    api.rs:1012-1013; PBRT's ProfilePhase was not ported)."""
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def __enter__(self):
+        import time
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        import time
+        _phases[self.name] = _phases.get(self.name, 0.0) + \
+            time.perf_counter() - self._t0
+        return False
+
+
+def print_phases(file=None):
+    file = file or sys.stdout
+    if not _phases:
+        return
+    print("Phase timings:", file=file)
+    for name, secs in sorted(_phases.items(), key=lambda kv: -kv[1]):
+        print(f"    {name:<42}{secs:9.3f} s", file=file)
 
 
 def counter_add(name: str, n: int = 1):
