@@ -147,26 +147,32 @@ def build_dragon():
 
 
 def bench_forward(ctx, cam, film, sampler, integ, res, spp, n_runs,
-                  max_lanes=1 << 16):
+                  max_lanes=1 << 16, spp_measure=None):
+    """Steady-state camera rays/s. When spp_measure < spp, time an
+    spp_measure-sample slice after warmup (identical per-sample work; the
+    full-spp render is just more of the same steps)."""
     import numpy as np
     from rustracer_tpu.render.renderer import Renderer, RenderConfig
 
+    spp_measure = spp if spp_measure is None else min(spp_measure, spp)
     cfg = RenderConfig(max_lanes=max_lanes, collect_stats=False)
     r = Renderer(integ.li, cam, film, sampler, cfg)
     # warmup / compile (1 spp over all tiles)
     log(f"forward {res}@{spp}: compiling ...")
     fs = r.render_state(ctx, sample_stop=1)
     np.asarray(film.to_image(fs))
-    log(f"forward {res}@{spp}: compiled; timing {n_runs} runs")
+    log(f"forward {res}@{spp}: compiled; timing {n_runs} runs "
+        f"of {spp_measure} spp")
     times = []
     for _ in range(n_runs):
         t0 = time.perf_counter()
-        img = r.render(ctx)
+        fs = r.render_state(ctx, sample_stop=spp_measure)
+        img = film.to_image(fs)
         np.asarray(img)  # block
         times.append(time.perf_counter() - t0)
     best = min(times)
     assert np.isfinite(np.asarray(img)).all(), "non-finite radiance in bench"
-    return res[0] * res[1] * spp / best
+    return res[0] * res[1] * spp_measure / best
 
 
 def bench_cornell_fwdbwd(ctx, cam, film, sampler, integ, n_runs=3):
@@ -245,7 +251,7 @@ def main():
     log(f"dragon scene built: {n_tris} tris")
     dragon_fwd = bench_forward(ctx, cam, film, sampler, integ,
                                DRAGON_RES, DRAGON_SPP, n_runs=2,
-                               max_lanes=1 << 18)
+                               max_lanes=1 << 18, spp_measure=8)
 
     print(json.dumps({
         "metric": "camera_rays_per_s_dragon327k_1024_64spp_path",

@@ -36,6 +36,10 @@ from ..core.math import INFINITY
 from ..ops.triangle import triangle_intersect_c
 
 
+MAJORITY_ITERS = 96   # pass-1 fixed trip count (covers ~p95 of lanes)
+TAIL_FRACTION = 4     # pass-2 compacted width = B / TAIL_FRACTION
+
+
 def _traverse(tables, ray, any_hit: bool):
     geom = tables
     bs = ray.t_max.shape
@@ -48,8 +52,6 @@ def _traverse(tables, ray, any_hit: bool):
 
     dx, dy, dz = ray.d[..., 0], ray.d[..., 1], ray.d[..., 2]
     ix, iy, iz = inv(dx), inv(dy), inv(dz)
-    oc = (ox, oy, oz)
-    dc = (dx, dy, dz)
 
     nodes = geom.bvh_threaded            # (8N, 8)
     leaves = geom.bvh_leaf_packed        # (L, 40)
@@ -63,16 +65,13 @@ def _traverse(tables, ray, any_hit: bool):
               | ((dz < 0).astype(jnp.int32) << 2))
     node0 = octant * n_nodes
 
-    init = (node0,                                   # node pointer
-            ray.t_max,                               # t_best
-            jnp.full(bs, -1, jnp.int32),             # prim
-            jnp.zeros(bs, bool))                     # done
-
-    def cond(s):
-        return jnp.any(~s[3])
-
     def body(s):
-        node, t_best, prim, done = s
+        """One threaded step. s = (node, t_best, prim, done, rayc) where
+        rayc = (ox, oy, oz, dx, dy, dz, ix, iy, iz) per-lane components."""
+        node, t_best, prim, done, rayc = s
+        ox, oy, oz, dx, dy, dz, ix, iy, iz = rayc
+        oc = (ox, oy, oz)
+        dc = (dx, dy, dz)
         active = ~done
         rec = nodes[node]                                     # (B, 8) gather
         lo_x, lo_y, lo_z = rec[..., 0], rec[..., 1], rec[..., 2]
@@ -122,12 +121,66 @@ def _traverse(tables, ray, any_hit: bool):
         if any_hit:
             done = done | (prim >= 0)
         node = jnp.where(active, jnp.maximum(nxt, 0), node)
-        return (node, t_best, prim, done)
+        return (node, t_best, prim, done, rayc)
 
-    final = jax.lax.while_loop(cond, body, init)
-    prim = final[2]
+    rayc = (ox, oy, oz, dx, dy, dz, ix, iy, iz)
+    init = (node0,                                   # node pointer
+            ray.t_max,                               # t_best
+            jnp.full(bs, -1, jnp.int32),             # prim
+            # lanes with t_max <= 0 are dead (masked-out paths, occluded
+            # shadow probes): start them done so a handful of garbage lanes
+            # can't stretch the lockstep loop for the whole wavefront
+            ray.t_max <= 0.0,                        # done
+            rayc)
+
+    flat = len(bs) == 1 and bs[0] >= 4 * TAIL_FRACTION
+    if not flat:
+        # small/oddly-shaped wavefronts: plain while_loop to completion
+        def cond(s):
+            return jnp.any(~s[3])
+        final = jax.lax.while_loop(cond, body, init)
+        prim, t_best = final[2], final[1]
+        hit = prim >= 0
+        return hit, jnp.where(hit, t_best, INFINITY), prim
+
+    # --- two-phase traversal (lockstep-divergence compaction) ---
+    # Node-visit counts are heavy-tailed (measured on a 327k-tri scan
+    # stand-in: mean 84, p99 285, max 475 per camera wavefront). A single
+    # while_loop makes ALL lanes pay worst-lane iterations in full-width
+    # gather bandwidth. Phase 1 runs a fixed MAJORITY_ITERS steps (fori,
+    # no cond sync); phase 2 repeatedly compacts the unfinished lanes into
+    # a B/TAIL_FRACTION-wide buffer (argsort(done): unfinished first) and
+    # runs them to completion at 1/TAIL_FRACTION of the bandwidth,
+    # scattering results back. Any unfinished count is handled — each outer
+    # round drains up to B/TAIL_FRACTION lanes.
+    state = jax.lax.fori_loop(0, MAJORITY_ITERS, lambda i, s: body(s), init)
+
+    B = bs[0]
+    Bt = B // TAIL_FRACTION
+
+    def any_unfinished(s):
+        return jnp.any(~s[3])
+
+    def drain_round(s):
+        node, t_best, prim, done, rayc = s
+        order = jnp.argsort(done)            # unfinished lanes first
+        sel = order[:Bt]
+        sub_rayc = tuple(c[sel] for c in rayc)
+        sub = (node[sel], t_best[sel], prim[sel], done[sel], sub_rayc)
+
+        def sub_cond(ss):
+            return jnp.any(~ss[3])
+        sub = jax.lax.while_loop(sub_cond, body, sub)
+        node = node.at[sel].set(sub[0])
+        t_best = t_best.at[sel].set(sub[1])
+        prim = prim.at[sel].set(sub[2])
+        done = done.at[sel].set(sub[3])
+        return (node, t_best, prim, done, rayc)
+
+    final = jax.lax.while_loop(any_unfinished, drain_round, state)
+    prim, t_best = final[2], final[1]
     hit = prim >= 0
-    return hit, jnp.where(hit, final[1], INFINITY), prim
+    return hit, jnp.where(hit, t_best, INFINITY), prim
 
 
 def bvh_intersect_triangles(tables, ray):

@@ -39,6 +39,7 @@ def li(ctx, ray, lanes, sampler, dims, n_samples=16, mat_set=None):
         w = w_local[..., 0, None] * si.ss + w_local[..., 1, None] * si.ts \
             + w_local[..., 2, None] * n
         shadow = si.spawn_ray(w)
+        shadow = shadow._replace(t_max=jnp.where(si.valid, shadow.t_max, 0.0))
         blocked = scene_intersect_p(ctx.geom, shadow)
         occ = occ + jnp.where(blocked, 0.0, 1.0)
     v = jnp.where(si.valid, occ / n_samples, 0.0)

@@ -17,9 +17,11 @@ from ..scene import lights as L
 from ..scene.tables import scene_intersect, scene_intersect_p
 
 
-def unoccluded(geom, si, ls: L.LightSample):
+def unoccluded(geom, si, ls: L.LightSample, mask=None):
     """VisibilityTester (light/mod.rs:42-56): shadow ray from si to the
-    sampled light point (or direction probe for distant/infinite)."""
+    sampled light point (or direction probe for distant/infinite). Lanes
+    with mask=False trace a zero-length ray (they can't stretch the
+    lockstep BVH loop)."""
     o = offset_ray_origin(si.p, si.p_error, si.n, ls.wi)
     p_t = jnp.where(ls.at_infinity[..., None], ls.p_target,
                     offset_ray_origin(ls.p_target, ls.err_target, ls.n_target,
@@ -27,6 +29,8 @@ def unoccluded(geom, si, ls: L.LightSample):
     d = p_t - o
     dist = length(d)
     t_max = jnp.where(ls.at_infinity, INFINITY, 1.0 - 1e-3)
+    if mask is not None:
+        t_max = jnp.where(mask, t_max, 0.0)
     ray = Ray(o=o, d=jnp.where(ls.at_infinity[..., None], ls.wi, d),
               t_max=t_max)
     return ~scene_intersect_p(geom, ray)
@@ -48,7 +52,7 @@ def estimate_direct(ctx, mat_set, si, lobes, lid, u_light, u_scatter_lobe,
         absdot(ls.wi, si.ns)[..., None]
     scattering_pdf = B.bsdf_pdf(lobes, si, si.wo, ls.wi, types, flags)
     contrib_possible = (ls.pdf > 0.0) & ~is_black(ls.li) & ~is_black(f) & si.valid
-    vis = unoccluded(geom, si, ls) & contrib_possible
+    vis = unoccluded(geom, si, ls, mask=contrib_possible) & contrib_possible
     li = jnp.where(vis[..., None], ls.li, 0.0)
     weight = jnp.where(ls.is_delta, 1.0,
                        power_heuristic(1.0, ls.pdf, 1.0, scattering_pdf))
@@ -72,8 +76,9 @@ def estimate_direct(ctx, mat_set, si, lobes, lid, u_light, u_scatter_lobe,
     w_b = jnp.where(sampled_specular, 1.0,
                     power_heuristic(1.0, pdf_b, 1.0, light_pdf))
     do_bsdf = do_bsdf & (sampled_specular | (light_pdf > 0.0))
-    # trace the BSDF ray; did we hit THIS light?
+    # trace the BSDF ray (dead lanes zero-length); did we hit THIS light?
     ray_b = si.spawn_ray(wi_b)
+    ray_b = ray_b._replace(t_max=jnp.where(do_bsdf, ray_b.t_max, 0.0))
     si_b = scene_intersect(geom, ray_b)
     hit_this_light = si_b.valid & (si_b.arealight == lid)
     le_surf = L.arealight_le(lt, si_b.arealight, si_b.n, -wi_b)
@@ -166,6 +171,7 @@ def trace_specular_tree(ctx, mat_set, ray, lanes, sampler, dims, max_depth,
                 live_r = alive & ok & jnp.any(wgt > 0.0, axis=-1)
                 r = specular_diff_ray(ray, si_s, wi, lobes.eta,
                                       transmit=False)
+                r = r._replace(t_max=jnp.where(live_r, r.t_max, 0.0))
                 sub = trace(r, depth + 1, live_r)
                 # wgt already equals f·|cosθ|/pdf for the deterministic
                 # single-lobe specular sample (R·Fresnel)
@@ -176,6 +182,7 @@ def trace_specular_tree(ctx, mat_set, ray, lanes, sampler, dims, max_depth,
                 live_t = alive & ok & jnp.any(wgt > 0.0, axis=-1)
                 r = specular_diff_ray(ray, si_s, wi, lobes.eta,
                                       transmit=True)
+                r = r._replace(t_max=jnp.where(live_t, r.t_max, 0.0))
                 sub = trace(r, depth + 1, live_t)
                 Lrad = Lrad + jnp.where(live_t[..., None], wgt * sub, 0.0)
         return Lrad

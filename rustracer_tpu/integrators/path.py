@@ -106,6 +106,9 @@ class PathIntegrator:
                                       1.0 / jnp.maximum(eta * eta, 1e-8)),
                 eta_scale)
             ray = si_s.spawn_ray(wi)
+            # dead lanes must not traverse (their wi is garbage and can
+            # stretch the lockstep BVH loop arbitrarily)
+            ray = ray._replace(t_max=jnp.where(alive, ray.t_max, 0.0))
 
             # Russian roulette (path.rs:199-209)
             if bounce > 3:
