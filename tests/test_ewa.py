@@ -1,0 +1,104 @@
+"""EWA anisotropic filtering: validate the fixed 4-tap approximation.
+
+Reference: mipmap.rs:227-410 lookup_diff — true EWA loops over an elliptical
+footprint with a Gaussian kernel (variable extent, hostile to lockstep TPU
+code). ops/mipmap.py replaces it with minor-axis level selection + 4
+trilinear taps along the major axis; round-1 verdict flagged that this
+deviation was never validated. Here a dense numpy EWA (faithful to the
+reference algorithm) is the oracle.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rustracer_tpu.ops.mipmap import (WRAP_REPEAT, build_pyramid, lookup_ewa,
+                                      lookup_trilinear)
+
+
+def ewa_reference(img, st, dst0, dst1, max_aniso=8.0):
+    """Dense single-level EWA (mipmap.rs ewa()): Gaussian-weighted loop over
+    the bounding box of the ellipse, repeat wrapping, on the FINEST level —
+    the oracle for filter shape (level selection tested separately)."""
+    h, w, c = img.shape
+    out = np.zeros((st.shape[0], c), np.float32)
+    for i in range(st.shape[0]):
+        d0 = dst0[i] * [w, h]
+        d1 = dst1[i] * [w, h]
+        p = st[i] * [w, h] - 0.5
+        # ellipse coefficients (mipmap.rs:330-356)
+        A = d0[1] ** 2 + d1[1] ** 2 + 1
+        B = -2 * (d0[0] * d0[1] + d1[0] * d1[1])
+        C = d0[0] ** 2 + d1[0] ** 2 + 1
+        invF = 1.0 / (A * C - B * B * 0.25)
+        A, B, C = A * invF, B * invF, C * invF
+        det = -B * B + 4 * A * C
+        u_r = np.sqrt(max(0.0, C * det)) * 2 / det
+        v_r = np.sqrt(max(0.0, A * det)) * 2 / det
+        s0, s1 = int(np.ceil(p[0] - u_r)), int(np.floor(p[0] + u_r))
+        t0, t1 = int(np.ceil(p[1] - v_r)), int(np.floor(p[1] + v_r))
+        acc = np.zeros(c)
+        wsum = 0.0
+        for tt in range(t0, t1 + 1):
+            for ss in range(s0, s1 + 1):
+                du, dv = ss - p[0], tt - p[1]
+                r2 = A * du * du + B * du * dv + C * dv * dv
+                if r2 < 1.0:
+                    wgt = np.exp(-2.0 * r2) - np.exp(-2.0)
+                    acc += wgt * img[tt % h, ss % w]
+                    wsum += wgt
+        out[i] = acc / max(wsum, 1e-9)
+    return out
+
+
+class TestEWAApproximation:
+    def test_anisotropic_matches_reference(self):
+        """Strongly anisotropic footprints on a smooth gradient + stripe
+        image: the 4-tap approximation must land near true EWA, and closer
+        than plain (isotropic) trilinear with the same major width."""
+        rs = np.random.RandomState(5)
+        h = w = 64
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack([
+            0.2 + 0.6 * xx / w,                             # u gradient
+            0.5 + 0.5 * np.sin(2 * np.pi * yy / 8.0),       # v stripes
+            0.5 * np.ones_like(xx, np.float32)], -1).astype(np.float32)
+        pyr = [jnp.asarray(lv) for lv in build_pyramid(img)]
+
+        n = 32
+        st = rs.rand(n, 2).astype(np.float32)
+        # anisotropic: wide in u, narrow in v (in uv units)
+        dst0 = np.stack([rs.uniform(4, 8, n) / w, np.zeros(n)], -1).astype(np.float32)
+        dst1 = np.stack([np.zeros(n), rs.uniform(0.5, 1.0, n) / h], -1).astype(np.float32)
+
+        ours = np.asarray(lookup_ewa(pyr, jnp.asarray(st), jnp.asarray(dst0),
+                                     jnp.asarray(dst1), 8.0, WRAP_REPEAT))
+        oracle = ewa_reference(img, st, dst0, dst1)
+        err = np.abs(ours - oracle).mean()
+
+        # isotropic trilinear at the MAJOR width (what EWA improves upon)
+        width = 2.0 * np.maximum(np.abs(dst0).max(-1), np.abs(dst1).max(-1))
+        iso = np.asarray(lookup_trilinear(pyr, jnp.asarray(st),
+                                          jnp.asarray(width), WRAP_REPEAT))
+        iso_err = np.abs(iso - oracle).mean()
+
+        assert err < 0.05, f"4-tap EWA err {err} vs oracle"
+        assert err < 0.6 * iso_err, \
+            f"4-tap ({err}) not better than isotropic ({iso_err})"
+
+    def test_isotropic_footprint_agrees_with_trilinear(self):
+        """Isotropic footprints: EWA must reduce to ~trilinear."""
+        h = w = 32
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack([xx / w, yy / h, np.ones_like(xx)], -1).astype(np.float32)
+        pyr = [jnp.asarray(lv) for lv in build_pyramid(img)]
+        n = 16
+        rs = np.random.RandomState(7)
+        st = rs.rand(n, 2).astype(np.float32)
+        r = rs.uniform(1.0, 2.0, n).astype(np.float32) / w
+        dst0 = np.stack([r, np.zeros(n)], -1).astype(np.float32)
+        dst1 = np.stack([np.zeros(n), r], -1).astype(np.float32)
+        a = np.asarray(lookup_ewa(pyr, jnp.asarray(st), jnp.asarray(dst0),
+                                  jnp.asarray(dst1)))
+        b = np.asarray(lookup_trilinear(pyr, jnp.asarray(st),
+                                        jnp.asarray(2.0 * r)))
+        assert np.abs(a - b).mean() < 0.03
