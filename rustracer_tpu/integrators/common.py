@@ -93,6 +93,38 @@ def estimate_direct(ctx, mat_set, si, lobes, lid, u_light, u_scatter_lobe,
     return ld
 
 
+def estimate_direct_light_side(ctx, mat_set, si, lobes, lid, u_light,
+                               sel_pmf):
+    """Light-sampling half of MIS NEE for the merged wavefront path
+    formulation: the BSDF-side sample is NOT traced here — the path's own
+    bounce ray doubles as it (emission hits are MIS-weighted in the bounce
+    loop). `sel_pmf` (B,) is the light-selection probability; unlike
+    estimate_direct (integrator/mod.rs:222-318, which leaves selection to
+    the caller) it is folded into the light pdf so the two MIS halves use
+    the SAME strategy density pmf·pdf_li. f and the scattering pdf use
+    flags=ALL to match bsdf_sample_f's bounce sampling (specular lobes
+    evaluate to zero density)."""
+    types = mat_set.types_present()
+    geom = ctx.geom
+    lt = ctx.lights
+    zero = jnp.zeros(si.t.shape + (3,), jnp.float32)
+
+    ls = L.sample_li(lt, geom, lid, si, u_light)
+    light_pdf = ls.pdf * sel_pmf
+    f = B.bsdf_f(lobes, si, si.wo, ls.wi, types, B.ALL) * \
+        absdot(ls.wi, si.ns)[..., None]
+    scattering_pdf = B.bsdf_pdf(lobes, si, si.wo, ls.wi, types, B.ALL)
+    contrib_possible = (light_pdf > 0.0) & ~is_black(ls.li) & ~is_black(f) \
+        & si.valid
+    vis = unoccluded(geom, si, ls, mask=contrib_possible) & contrib_possible
+    li = jnp.where(vis[..., None], ls.li, 0.0)
+    weight = jnp.where(ls.is_delta, 1.0,
+                       power_heuristic(1.0, light_pdf, 1.0, scattering_pdf))
+    pdf_safe = jnp.where(contrib_possible, jnp.maximum(light_pdf, 1e-12), 1.0)
+    return jnp.where(contrib_possible[..., None],
+                     f * li * (weight / pdf_safe)[..., None], zero)
+
+
 def specular_diff_ray(ray: Ray, si, wi, eta, transmit: bool) -> Ray:
     """Spawn a specular continuation ray, propagating ray differentials
     (reference integrator/mod.rs:49-142). Reflection:

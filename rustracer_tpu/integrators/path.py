@@ -1,22 +1,56 @@
-"""Path integrator: iterative NEE+MIS path tracing over masked wavefronts.
+"""Path integrator: NEE+MIS path tracing over masked wavefronts.
 
-Reference: rustracer-core/src/integrator/path.rs:96-216. The per-sample
-recursion becomes a statically-unrolled bounce loop over SoA lane state
-{ray, beta, alive, specular_bounce, eta_scale} — dead lanes are masked, not
-compacted (compaction via sorting is a later optimization; see SURVEY §7).
+Reference: rustracer-core/src/integrator/path.rs:96-216. Two deliberate
+TPU-first departures from the reference's per-sample recursion:
+
+1. **lax.scan bounce loop.** The per-sample loop becomes ONE compiled bounce
+   body scanned over the interior bounces (a Python unroll compiled the full
+   pipeline max_depth times and pushed XLA compiles past 6 minutes on a
+   256^2 Cornell). Bounce 0 stays a prologue (it owns the camera-ray
+   differentials); the final bounce is an emission-only epilogue.
+
+2. **Merged MIS.** The reference's estimate_direct traces an independent
+   BSDF-side sample per NEE (integrator/mod.rs:262-318) — a full extra
+   closest-hit traversal per bounce. Here the path's own bounce ray doubles
+   as the BSDF-side MIS sample (the standard wavefront formulation): when
+   the next bounce hits an emitter (or escapes into an infinite light), its
+   contribution is weighted by the power heuristic against the
+   light-sampling density pmf·pdf_li. Same estimator family, equally
+   unbiased, one traversal per bounce instead of two.
+
+Medium interfaces (material "none") pass straight through without consuming
+a bounce (path.rs:143-152) via scene_intersect_passthrough.
 """
 from __future__ import annotations
 
 import dataclasses
+from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
-from ..core.math import absdot
+from ..core.math import absdot, dot
+from ..core.ray import Ray
+from ..core.sampling import power_heuristic
 from ..core.spectrum import is_black
 from ..ops import bsdf as B
 from ..scene import lights as L
-from ..scene.tables import scene_intersect
-from .common import sample_one_light
+from ..scene.tables import scene_intersect_passthrough
+from .common import estimate_direct_light_side
+
+
+class _PathState(NamedTuple):
+    ray_o: jnp.ndarray       # (B, 3)
+    ray_d: jnp.ndarray       # (B, 3)
+    ray_tmax: jnp.ndarray    # (B,)
+    L: jnp.ndarray           # (B, 3) accumulated radiance
+    beta: jnp.ndarray        # (B, 3) path throughput
+    eta_scale: jnp.ndarray   # (B,)
+    alive: jnp.ndarray       # (B,) bool
+    prev_pdf: jnp.ndarray    # (B,) BSDF pdf of ray_d (solid angle)
+    prev_spec: jnp.ndarray   # (B,) bool — ray_d came from a delta lobe
+    prev_p: jnp.ndarray      # (B, 3) scattering point that spawned ray_d
+    path_len: jnp.ndarray    # (B,) int32
 
 
 @dataclasses.dataclass(frozen=True)
@@ -24,6 +58,7 @@ class PathIntegrator:
     mat_set: object
     max_depth: int = 5
     rr_threshold: float = 1.0
+    max_interface_skips: int = 8
 
     def li(self, ctx, ray, lanes, sampler, dims):
         return self._run(ctx, ray, lanes, sampler, dims)[0]
@@ -36,91 +71,177 @@ class PathIntegrator:
     def tests_per_lane(self):
         """Static intersection-test call counts per camera-ray lane in the
         wavefront model (every lane executes every test): per bounce one
-        closest hit; per NEE one shadow probe + one BSDF-side closest hit
-        (reference counters scene.rs:9-20)."""
+        closest hit; per NEE one shadow probe (reference counters
+        scene.rs:9-20). The merged-MIS formulation has no separate
+        BSDF-side closest hit."""
         d = self.max_depth
-        return {"regular": 2 * d - 1, "shadow": d - 1}
+        return {"regular": d, "shadow": d - 1}
+
+    # -- per-bounce pieces -------------------------------------------------
+
+    def _sel_pmf(self, ctx, p, lid):
+        """Selection pmf of light row `lid` for a path scattered at `p` —
+        the density the emission-hit MIS weight pairs with (uniform pick or
+        the spatial grid, path.rs:86-94)."""
+        if getattr(ctx, "light_grid", None) is not None:
+            from ..scene import lightdistrib as LD
+            return LD.pmf_lookup(ctx.light_grid, p, lid)
+        n = ctx.lights.n_lights
+        return jnp.full(lid.shape, 1.0 / n, jnp.float32)
+
+    def _pick_light(self, ctx, sampler, lanes, si, d_sel):
+        u_sel = sampler.get_1d(lanes.pixel_idx, lanes.sample_idx, d_sel)
+        if getattr(ctx, "light_grid", None) is not None:
+            from ..scene import lightdistrib as LD
+            return LD.sample_light(ctx.light_grid, si.p, u_sel)
+        n = ctx.lights.n_lights
+        lid = jnp.minimum((u_sel * n).astype(jnp.int32), n - 1)
+        return lid, jnp.full(si.t.shape, 1.0 / n, jnp.float32)
+
+    def _hit_and_emit(self, ctx, ray, st: _PathState, first: bool):
+        """Closest hit (interface pass-through) + MIS-weighted emission.
+        Returns (si, state). Emission weight is 1 on camera hits and delta
+        bounces, else the power heuristic against pmf·pdf_li — the merged
+        BSDF-side of MIS (pairs with estimate_direct_light_side)."""
+        geom, lt = ctx.geom, ctx.lights
+        si = scene_intersect_passthrough(geom, ray,
+                                         self.max_interface_skips)
+        if first and ray.has_differentials:
+            from ..core.interaction import compute_differentials
+            si = compute_differentials(si, ray)
+        si = si._replace(valid=si.valid & st.alive)
+
+        le_hit = L.arealight_le(lt, si.arealight, si.n, si.wo)
+        if first:
+            w_hit = jnp.ones(st.prev_pdf.shape, jnp.float32)
+            le_esc = L.infinite_le(lt, ray.d)
+        else:
+            pmf_hit = self._sel_pmf(ctx, st.prev_p, si.arealight)
+            lpdf = L.pdf_li_hit(lt, geom, si.arealight, st.prev_p, ray.d,
+                                si.p, si.n) * pmf_hit
+            w_hit = jnp.where(st.prev_spec, 1.0,
+                              power_heuristic(1.0, st.prev_pdf, 1.0, lpdf))
+
+            def pmf_fn(row):
+                return self._sel_pmf(ctx, st.prev_p,
+                                     jnp.broadcast_to(row, st.prev_pdf.shape))
+            le_esc = L.infinite_le_mis(lt, ray.d, st.prev_pdf, st.prev_spec,
+                                       pmf_fn)
+        le_hit = jnp.where((si.valid & (si.arealight >= 0))[..., None],
+                           w_hit[..., None] * le_hit, 0.0)
+        le_esc = jnp.where((st.alive & ~si.valid)[..., None], le_esc, 0.0)
+        Lrad = st.L + st.beta * (le_hit + le_esc)
+
+        alive = st.alive & si.valid & (si.material >= 0)
+        path_len = st.path_len + alive.astype(jnp.int32)
+        return si, st._replace(L=Lrad, alive=alive, path_len=path_len)
+
+    def _scatter(self, ctx, sampler, lanes, si, st: _PathState,
+                 d_sel, d_light, d_lobe, d_u2, d_rr, rr_on):
+        """Shade + NEE (light side) + BSDF bounce sample + Russian roulette.
+        Dim arguments may be traced (scan body) or static ints (prologue);
+        rr_on is a traced/static bool for the bounce>3 RR gate
+        (path.rs:199-209)."""
+        types = self.mat_set.types_present()
+        si_s, lobes = self.mat_set.shade(si, ctx)
+        lobes = lobes._replace(active=lobes.active & st.alive[..., None])
+
+        # NEE, light-sampling side only (path.rs:154-169)
+        n_nonspec = B.num_matching(lobes, B.ALL & ~B.SPECULAR)
+        lid, pmf = self._pick_light(ctx, sampler, lanes, si_s, d_sel)
+        u_light = sampler.get_2d(lanes.pixel_idx, lanes.sample_idx, d_light)
+        ld = estimate_direct_light_side(ctx, self.mat_set, si_s, lobes, lid,
+                                        u_light, pmf)
+        Lrad = st.L + jnp.where((st.alive & (n_nonspec > 0))[..., None],
+                                st.beta * ld, 0.0)
+
+        # BSDF sampling for the next bounce (path.rs:172-196)
+        u_lobe = sampler.get_1d(lanes.pixel_idx, lanes.sample_idx, d_lobe)
+        u2 = sampler.get_2d(lanes.pixel_idx, lanes.sample_idx, d_u2)
+        wi, f, pdf, flags, ok = B.bsdf_sample_f(lobes, si_s, si_s.wo,
+                                                u_lobe, u2, types)
+        contrib = f * (absdot(wi, si_s.ns) /
+                       jnp.maximum(pdf, 1e-12))[..., None]
+        alive = st.alive & ok & ~is_black(f) & (pdf > 0.0)
+        beta = jnp.where(alive[..., None], st.beta * contrib, st.beta)
+        spec = (flags & B.SPECULAR) != 0
+        is_spec_trans = spec & ((flags & B.TRANSMISSION) != 0)
+        eta = lobes.eta
+        entering = dot(si_s.wo, si_s.ns) > 0.0
+        eta_scale = jnp.where(
+            is_spec_trans,
+            st.eta_scale * jnp.where(entering, eta * eta,
+                                     1.0 / jnp.maximum(eta * eta, 1e-8)),
+            st.eta_scale)
+        ray = si_s.spawn_ray(wi)
+        # dead lanes must not traverse (their wi is garbage and can stretch
+        # the lockstep BVH loop arbitrarily)
+        t_max = jnp.where(alive, ray.t_max, 0.0)
+
+        # Russian roulette (path.rs:199-209); the sampler dim is consumed
+        # on every bounce so sequences stay aligned across depths
+        u_rr = sampler.get_1d(lanes.pixel_idx, lanes.sample_idx, d_rr)
+        rr_beta_max = jnp.max(beta * eta_scale[..., None], axis=-1)
+        q = jnp.maximum(0.05, 1.0 - rr_beta_max)
+        do_rr = rr_on & (rr_beta_max < self.rr_threshold)
+        alive = alive & ~(do_rr & (u_rr < q))
+        beta = jnp.where((do_rr & alive)[..., None],
+                         beta / jnp.maximum(1.0 - q, 1e-3)[..., None], beta)
+
+        return _PathState(ray_o=ray.o, ray_d=ray.d, ray_tmax=t_max,
+                          L=Lrad, beta=beta, eta_scale=eta_scale,
+                          alive=alive, prev_pdf=pdf, prev_spec=spec,
+                          prev_p=si_s.p, path_len=st.path_len)
+
+    # -- driver -------------------------------------------------------------
 
     def _run(self, ctx, ray, lanes, sampler, dims):
-        types = self.mat_set.types_present()
         bs = ray.t_max.shape
-        Lrad = jnp.zeros(bs + (3,), jnp.float32)
-        beta = jnp.ones(bs + (3,), jnp.float32)
-        eta_scale = jnp.ones(bs, jnp.float32)
-        alive = jnp.ones(bs, bool)
-        specular_bounce = jnp.zeros(bs, bool)
-        path_len = jnp.zeros(bs, jnp.int32)
+        d = self.max_depth
+        zero3 = jnp.zeros(bs + (3,), jnp.float32)
+        st = _PathState(
+            ray_o=ray.o, ray_d=ray.d, ray_tmax=ray.t_max,
+            L=zero3, beta=jnp.ones(bs + (3,), jnp.float32),
+            eta_scale=jnp.ones(bs, jnp.float32),
+            alive=jnp.ones(bs, bool),
+            # prev_spec=True ⇒ weight-1 emission on camera hits
+            prev_pdf=jnp.ones(bs, jnp.float32),
+            prev_spec=jnp.ones(bs, bool),
+            prev_p=ray.o, path_len=jnp.zeros(bs, jnp.int32))
 
-        for bounce in range(self.max_depth):
-            si = scene_intersect(ctx.geom, ray)
-            si = si._replace(valid=si.valid & alive)
+        # bounce 0: prologue owns the ray differentials
+        si, st = self._hit_and_emit(ctx, ray, st, first=True)
+        if d == 1:
+            return st.L, st.path_len
+        st = self._scatter(ctx, sampler, lanes, si, st,
+                           dims.next_1d(), dims.next_2d(), dims.next_1d(),
+                           dims.next_2d(), dims.next_1d(), rr_on=False)
 
-            # emitted radiance on first/specular bounces (path.rs:127-136)
-            if bounce == 0:
-                from ..core.interaction import compute_differentials
-                si = compute_differentials(si, ray)
-                add_emit = alive
-            else:
-                add_emit = alive & specular_bounce
-            le_hit = L.arealight_le(ctx.lights, si.arealight, si.n, si.wo)
-            le_hit = jnp.where((si.valid & add_emit)[..., None], le_hit, 0.0)
-            le_esc = L.infinite_le(ctx.lights, ray.d)
-            le_esc = jnp.where((~si.valid & alive & add_emit)[..., None],
-                               le_esc, 0.0)
-            Lrad = Lrad + beta * (le_hit + le_esc)
+        # interior bounces 1..d-2: ONE compiled body, scanned
+        if d > 2:
+            base1, base2 = dims.d1, dims.d2
+            dims.d1 += 3 * (d - 2)
+            dims.d2 += 2 * (d - 2)
 
-            alive = alive & si.valid & (si.material >= 0)
-            path_len = path_len + alive.astype(jnp.int32)
-            if bounce == self.max_depth - 1:
-                break
+            def body(carry, b):
+                r = Ray(o=carry.ray_o, d=carry.ray_d, t_max=carry.ray_tmax)
+                si_b, c = self._hit_and_emit(ctx, r, carry, first=False)
+                k = b - jnp.uint32(1)
+                c = self._scatter(
+                    ctx, sampler, lanes, si_b, c,
+                    jnp.uint32(base1) + k * jnp.uint32(3),
+                    jnp.uint32(base2) + k * jnp.uint32(2),
+                    jnp.uint32(base1) + k * jnp.uint32(3) + jnp.uint32(1),
+                    jnp.uint32(base2) + k * jnp.uint32(2) + jnp.uint32(1),
+                    jnp.uint32(base1) + k * jnp.uint32(3) + jnp.uint32(2),
+                    rr_on=b > jnp.uint32(3))
+                return c, None
 
-            si_s, lobes = self.mat_set.shade(si, ctx)
-            lobes = lobes._replace(active=lobes.active & alive[..., None])
+            st, _ = jax.lax.scan(body, st,
+                                 jnp.arange(1, d - 1, dtype=jnp.uint32))
 
-            # NEE (path.rs:154-169); skip if only specular lobes
-            n_nonspec = B.num_matching(lobes, B.ALL & ~B.SPECULAR)
-            ld = sample_one_light(ctx, self.mat_set, si_s, lobes,
-                                  sampler, lanes, dims)
-            Lrad = Lrad + jnp.where((alive & (n_nonspec > 0))[..., None],
-                                    beta * ld, 0.0)
-
-            # BSDF sampling for the next bounce (path.rs:172-196)
-            u_lobe = sampler.get_1d(lanes.pixel_idx, lanes.sample_idx,
-                                    dims.next_1d())
-            u2 = sampler.get_2d(lanes.pixel_idx, lanes.sample_idx,
-                                dims.next_2d())
-            wi, f, pdf, flags, ok = B.bsdf_sample_f(lobes, si_s, si_s.wo,
-                                                    u_lobe, u2, types)
-            contrib = f * (absdot(wi, si_s.ns) /
-                           jnp.maximum(pdf, 1e-12))[..., None]
-            alive = alive & ok & ~is_black(f) & (pdf > 0.0)
-            beta = jnp.where(alive[..., None], beta * contrib, beta)
-            specular_bounce = (flags & B.SPECULAR) != 0
-            is_spec_trans = specular_bounce & ((flags & B.TRANSMISSION) != 0)
-            from ..core.math import dot
-            eta = lobes.eta
-            entering = dot(si_s.wo, si_s.ns) > 0.0
-            eta_scale = jnp.where(
-                is_spec_trans,
-                eta_scale * jnp.where(entering, eta * eta,
-                                      1.0 / jnp.maximum(eta * eta, 1e-8)),
-                eta_scale)
-            ray = si_s.spawn_ray(wi)
-            # dead lanes must not traverse (their wi is garbage and can
-            # stretch the lockstep BVH loop arbitrarily)
-            ray = ray._replace(t_max=jnp.where(alive, ray.t_max, 0.0))
-
-            # Russian roulette (path.rs:199-209)
-            if bounce > 3:
-                rr_beta_max = jnp.max(beta * eta_scale[..., None], axis=-1)
-                q = jnp.maximum(0.05, 1.0 - rr_beta_max)
-                u_rr = sampler.get_1d(lanes.pixel_idx, lanes.sample_idx,
-                                      dims.next_1d())
-                do_rr = rr_beta_max < self.rr_threshold
-                killed = do_rr & (u_rr < q)
-                alive = alive & ~killed
-                beta = jnp.where((do_rr & alive)[..., None],
-                                 beta / jnp.maximum(1.0 - q, 1e-3)[..., None],
-                                 beta)
-
-        return Lrad, path_len
+        # final bounce: emission only (the reference breaks after adding le
+        # at bounces == max_depth)
+        r = Ray(o=st.ray_o, d=st.ray_d, t_max=st.ray_tmax)
+        _, st = self._hit_and_emit(ctx, r, st, first=False)
+        return st.L, st.path_len

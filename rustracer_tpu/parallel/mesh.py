@@ -145,29 +145,36 @@ def make_sharded_train_step(li_fn, camera, film: Film, sampler: SamplerConfig,
              → (new_ctx, loss (replicated scalar))
     """
 
-    def local_loss(textures, ctx, target, px, py, valid, sample_lo):
-        ctx = ctx._replace(textures=textures)
+    def local_render(ctx, px, py, valid, sample_lo):
         s_idx = jax.lax.axis_index("sample").astype(jnp.uint32)
         fs = _lane_step(ctx, px, py, valid, sample_lo + s_idx,
                         li_fn, camera, film, sampler)
         rgb = jax.lax.psum(fs.rgb, ("data", "sample"))
         wsum = jax.lax.psum(fs.wsum, ("data", "sample"))
-        img = film.to_image(FilmState(rgb, wsum, jnp.zeros_like(rgb)))
-        return jnp.mean((img - target) ** 2)
-
-    def local_step(ctx, target, px, py, valid, sample_lo):
-        loss, grads = jax.value_and_grad(local_loss)(
-            ctx.textures, ctx, target, px, py, valid, sample_lo)
-        # grads of replicated params from sharded lanes: psum over the mesh
-        grads = jax.tree.map(lambda g: jax.lax.psum(g, ("data", "sample")),
-                             grads)
-        new_tex = jax.tree.map(lambda p, g: p - lr * g, ctx.textures, grads)
-        return ctx._replace(textures=new_tex), loss
+        return FilmState(rgb=rgb, wsum=wsum, splat=jnp.zeros_like(rgb))
 
     replicated = P()
     sharded = P("data")
-    step = shard_map(local_step, mesh=mesh,
-                     in_specs=(replicated, replicated, sharded, sharded,
-                               sharded, replicated),
-                     out_specs=(replicated, replicated), check_vma=False)
+    render = shard_map(local_render, mesh=mesh,
+                       in_specs=(replicated, sharded, sharded, sharded,
+                                 replicated),
+                       out_specs=replicated, check_vma=False)
+
+    # Differentiate THROUGH the shard_map: jax's collective transpose
+    # machinery inserts the gradient reduction (the psum over the mesh)
+    # with the correct scaling. Hand-psum'ing per-device grads inside the
+    # shard_map double-counts the film psum's transpose under
+    # check_vma=False (caught by tests/test_mesh.py 1-vs-N parity).
+    def loss_fn(textures, ctx, target, px, py, valid, sample_lo):
+        fs = render(ctx._replace(textures=textures), px, py, valid,
+                    sample_lo)
+        img = film.to_image(fs)
+        return jnp.mean((img - target) ** 2)
+
+    def step(ctx, target, px, py, valid, sample_lo):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            ctx.textures, ctx, target, px, py, valid, sample_lo)
+        new_tex = jax.tree.map(lambda p, g: p - lr * g, ctx.textures, grads)
+        return ctx._replace(textures=new_tex), loss
+
     return jax.jit(step)

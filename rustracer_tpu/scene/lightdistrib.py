@@ -154,3 +154,17 @@ def sample_light(grid: SpatialLightGrid, p, u):
         jnp.sum((u[..., None] >= cdf_rows).astype(jnp.int32), -1), n_l - 1)
     pmf = jnp.take_along_axis(grid.pmf[flat], lid[..., None], -1)[..., 0]
     return lid, pmf
+
+
+def pmf_lookup(grid: SpatialLightGrid, p, lid):
+    """Selection probability of light `lid` at point p — the density the
+    emission-hit side of MIS must pair with sample_light's picks
+    (lightdistrib.rs lookup + Distribution1D::discrete_pdf)."""
+    import jax.numpy as jnp
+
+    off = (p - grid.world_lo) * grid.world_inv_ext
+    vi = jnp.clip((off * grid.n_voxels).astype(jnp.int32), 0,
+                  grid.n_voxels - 1)
+    flat = jnp.sum(vi * grid.strides, axis=-1)
+    lid_c = jnp.clip(lid, 0, grid.pmf.shape[-1] - 1)
+    return jnp.take_along_axis(grid.pmf[flat], lid_c[..., None], -1)[..., 0]

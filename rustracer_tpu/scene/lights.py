@@ -209,6 +209,79 @@ def _sample_prim(geom, prim, u):
     return p, n, err, area
 
 
+class _ConeSample(NamedTuple):
+    valid: jnp.ndarray  # (B,) lanes where cone sampling applies
+    p: jnp.ndarray      # (B, 3) sample point on the sphere
+    n: jnp.ndarray      # (B, 3) outward normal at the sample
+    err: jnp.ndarray    # (B, 3)
+    pdf: jnp.ndarray    # (B,) solid-angle pdf (uniform over the cone)
+
+
+def _sphere_cone_geom(geom, prim, ref_p):
+    """Shared cone geometry for FULL sphere quadrics seen from outside
+    (sphere.rs:245-340): returns (valid, center, radius, dc, dc2,
+    cos_theta_max, qid). Clipped spheres and interior points fall back to
+    uniform-area sampling. Assumes no scaling in the sphere's o2w (the
+    reference makes the same assumption: it mixes the object-space radius
+    with the world-space center, sphere.rs:249-252)."""
+    nq = geom.n_quadrics
+    is_q = prim < nq
+    qid = jnp.clip(jnp.where(is_q, prim, 0), 0, nq - 1)
+    qp = geom.q_params[qid]
+    r = qp[..., 0]
+    full = (qp[..., 1] <= -r + 1e-5 * jnp.maximum(r, 1e-8)) & \
+        (qp[..., 2] >= r - 1e-5 * jnp.maximum(r, 1e-8)) & \
+        (qp[..., 3] >= 2.0 * PI - 1e-4)
+    center = geom.q_o2w[qid][..., :3, 3]
+    dvec = center - ref_p
+    dc2 = jnp.maximum(jnp.sum(dvec * dvec, -1), 1e-20)
+    dc = jnp.sqrt(dc2)
+    outside = dc2 > r * r
+    valid = is_q & (geom.q_type[qid] == SPHERE) & full & outside & (r > 0.0)
+    sin2max = jnp.clip(r * r / dc2, 0.0, 1.0)
+    cosmax = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2max))
+    return valid, center, r, dvec, dc, dc2, cosmax, qid
+
+
+def cone_pdf_wi(geom, prim, ref_p):
+    """Solid-angle pdf of the cone strategy: 1 / (2π(1−cosθmax))
+    (sphere.rs:312-340 pdf_wi, sampling/mod.rs uniform_cone_pdf). Returns
+    (pdf, valid); valid=False lanes must use the area-based pdf."""
+    valid, _, _, _, _, _, cosmax, _ = _sphere_cone_geom(geom, prim, ref_p)
+    pdf = 1.0 / jnp.maximum(2.0 * PI * (1.0 - cosmax), 1e-9)
+    return jnp.where(valid, pdf, 0.0), valid
+
+
+def _sphere_cone_sample(geom, prim, ref_p, u) -> _ConeSample:
+    """Uniform solid-angle sample of the cone a full sphere subtends from
+    an exterior point (sphere.rs:245-310): dramatically lower variance than
+    area sampling for small/distant sphere lights — every sample lands on
+    the visible cap."""
+    valid, center, r, dvec, dc, dc2, cosmax, qid = _sphere_cone_geom(
+        geom, prim, ref_p)
+    cost = (1.0 - u[..., 0]) + u[..., 0] * cosmax
+    sint = jnp.sqrt(jnp.maximum(0.0, 1.0 - cost * cost))
+    phi = u[..., 1] * 2.0 * PI
+    # distance from ref to the sphere along the sampled cone direction,
+    # then the spherical-triangle angle alpha at the sphere center
+    ds = dc * cost - jnp.sqrt(jnp.maximum(0.0, r * r - dc2 * sint * sint))
+    cosa = (dc2 + r * r - ds * ds) / jnp.maximum(2.0 * dc * r, 1e-12)
+    cosa = jnp.clip(cosa, -1.0, 1.0)
+    sina = jnp.sqrt(jnp.maximum(0.0, 1.0 - cosa * cosa))
+    from ..core.math import coordinate_system
+    wc = dvec / dc[..., None]
+    wcx, wcy = coordinate_system(wc)
+    n_s = (sina * jnp.cos(phi))[..., None] * (-wcx) \
+        + (sina * jnp.sin(phi))[..., None] * (-wcy) \
+        + cosa[..., None] * (-wc)
+    p_s = center + r[..., None] * n_s
+    n_out = jnp.where(geom.q_reverse[qid][..., None], -n_s, n_s)
+    pdf = 1.0 / jnp.maximum(2.0 * PI * (1.0 - cosmax), 1e-9)
+    err = jnp.abs(p_s) * 1e-5 + 1e-6
+    return _ConeSample(valid=valid, p=p_s, n=n_out, err=err,
+                       pdf=jnp.where(valid, pdf, 0.0))
+
+
 def prim_area(geom, prim):
     nq = geom.n_quadrics
     is_tri = prim >= nq
@@ -297,9 +370,14 @@ def sample_li(lt: LightTables, geom, lid, si, u) -> LightSample:
     li_di = emit
     p_di = p + wi_di * (2.0 * lt.world_radius)
 
-    # area (diffuse.rs:12-98): uniform-area shape sample
+    # area (diffuse.rs:12-98): uniform-area shape sample; FULL spheres seen
+    # from outside use subtended-cone sampling instead (sphere.rs:245-310)
     prim = lt.l_prim[lid]
     p_a, n_a, err_a, area = _sample_prim(geom, prim, u)
+    cs = _sphere_cone_sample(geom, prim, p, u)
+    p_a = jnp.where(cs.valid[..., None], cs.p, p_a)
+    n_a = jnp.where(cs.valid[..., None], cs.n, n_a)
+    err_a = jnp.where(cs.valid[..., None], cs.err, err_a)
     d_a = p_a - p
     dist2_a = jnp.maximum(jnp.sum(d_a * d_a, -1), 1e-12)
     wi_a = d_a * jax_rsqrt(dist2_a)[..., None]
@@ -308,6 +386,7 @@ def sample_li(lt: LightTables, geom, lid, si, u) -> LightSample:
     facing = jnp.where(two, jnp.abs(cos_l) > 1e-7, cos_l > 1e-7)
     li_a = jnp.where(facing[..., None], emit, 0.0)
     pdf_a = dist2_a / jnp.maximum(jnp.abs(cos_l) * area, 1e-12)
+    pdf_a = jnp.where(cs.valid, cs.pdf, pdf_a)
     pdf_a = jnp.where(facing, pdf_a, 0.0)
 
     # infinite (infinite.rs:35-220): each infinite light has its own map /
@@ -406,6 +485,10 @@ def pdf_li(lt: LightTables, geom, lid, si, wi):
     cos_l = absdot(n_l, wi)
     pdf_area_lights = jnp.where(hit & (cos_l > 1e-7),
                                 dist2 / jnp.maximum(cos_l * area, 1e-12), 0.0)
+    # cone strategy density for full spheres from outside (sphere.rs:312-340
+    # returns the uniform-cone pdf without re-intersecting)
+    cpdf, cvalid = cone_pdf_wi(geom, prim, si.p)
+    pdf_area_lights = jnp.where(cvalid, cpdf, pdf_area_lights)
     pdf = jnp.where(ltype == LIGHT_AREA, pdf_area_lights, pdf)
 
     for k in range(lt.n_infinite):
@@ -415,6 +498,48 @@ def pdf_li(lt: LightTables, geom, lid, si, wi):
         p_inf = jnp.where(sin_t > 1e-7, p_inf, 0.0)
         pdf = jnp.where(lid == lt.inf_rows[k], p_inf, pdf)
     return pdf
+
+
+def pdf_li_hit(lt: LightTables, geom, lid, prev_p, d, p_hit, n_hit):
+    """Solid-angle pdf that sample_li at `prev_p` would have produced the
+    direction toward a KNOWN area-light hit (p_hit, n_hit on light row
+    `lid`). Equivalent to pdf_li for area lights, but computed directly
+    from the hit the path tracer already has — no re-intersection
+    (shapes/*::pdf_wi density, diffuse.rs pdf_li). Must stay consistent
+    with sample_li's area strategy."""
+    prim = lt.l_prim[jnp.clip(lid, 0, lt.n_lights - 1)]
+    area = prim_area(geom, prim)
+    dist2 = jnp.maximum(distance_squared(prev_p, p_hit), 1e-12)
+    cos_l = absdot(n_hit, d)
+    pdf = dist2 / jnp.maximum(cos_l * area, 1e-12)
+    pdf = jnp.where((lid >= 0) & (cos_l > 1e-7), pdf, 0.0)
+    # cone strategy density for full spheres from outside (sphere.rs:312-340)
+    cpdf, cvalid = cone_pdf_wi(geom, prim, prev_p)
+    return jnp.where((lid >= 0) & cvalid, cpdf, pdf)
+
+
+def infinite_le_mis(lt: LightTables, d, prev_pdf, prev_spec, pmf_fn):
+    """MIS-weighted escape radiance: for each infinite light, weight its le
+    by the power heuristic against the light-sampling strategy's density
+    for direction d (the merged wavefront formulation — the BSDF-side MIS
+    sample IS the path's bounce ray; reference estimate_direct
+    integrator/mod.rs:300-316 evaluates the same pairing with a separate
+    ray). `pmf_fn(row)` returns the per-lane selection pmf of a light row
+    (uniform 1/n or the spatial-grid pmf at the scattering point)."""
+    from ..core.sampling import power_heuristic
+    out = jnp.zeros(d.shape[:-1] + (3,), jnp.float32)
+    for k in range(lt.n_infinite):
+        uv, sin_t = _inf_dir_to_uv(lt, k, d)
+        le = bilerp_level(lt.inf_maps[k], uv, WRAP_REPEAT) * \
+            lt.l_emit[lt.inf_rows[k]]
+        pdf_k = lt.inf_dists[k].pdf(uv) / jnp.maximum(
+            2.0 * PI * PI * sin_t, 1e-9)
+        pdf_k = jnp.where(sin_t > 1e-7, pdf_k, 0.0)
+        light_pdf = pdf_k * pmf_fn(lt.inf_rows[k])
+        w = jnp.where(prev_spec, 1.0,
+                      power_heuristic(1.0, prev_pdf, 1.0, light_pdf))
+        out = out + w[..., None] * le
+    return out
 
 
 def arealight_le(lt: LightTables, arealight_id, n, w):

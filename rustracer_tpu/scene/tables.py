@@ -58,6 +58,10 @@ class GeometryTables(NamedTuple):
     bvh_nodes_packed: jnp.ndarray  # (N, 8): lo(3) hi(3) child mp (bitcast)
     bvh_leaf_packed: jnp.ndarray   # (L, 40): 4 x [p0 p1 p2 tid] baked tris
     bvh_threaded: jnp.ndarray      # (8N, 8): per-octant stackless links
+    # shape-(1,) when any REAL prim is a medium interface (material "none",
+    # no area light — path.rs:143-152 pass-through), shape-(0,) otherwise:
+    # a static signal so interface-free scenes skip the re-trace loop
+    iface_flag: jnp.ndarray
 
     @property
     def n_quadrics(self):
@@ -76,6 +80,10 @@ class GeometryTables(NamedTuple):
         """Static (shape-based) — scenes without alpha masks keep the plain
         intersection kernels with zero overhead."""
         return self.alpha_atlas.shape[0] > 1
+
+    @property
+    def has_interfaces(self):
+        return self.iface_flag.shape[0] > 0
 
 
 def _dummy_quadric():
@@ -110,6 +118,14 @@ def make_geometry(quadrics: Optional[dict] = None, tris: Optional[dict] = None,
                   bvh: Optional[dict] = None,
                   alpha: Optional[dict] = None) -> GeometryTables:
     """Assemble (host-side, numpy in) → GeometryTables (jnp out)."""
+    # medium interfaces detected BEFORE dummy substitution (dummy rows carry
+    # material -1 but are never hit and must not force the re-trace loop)
+    n_iface = 0
+    for src, mk, ak in ((quadrics, "q_material", "q_arealight"),
+                        (tris, "t_material", "t_arealight")):
+        if src and len(src.get(mk, [])):
+            n_iface += int(np.sum((np.asarray(src[mk]) < 0)
+                                  & (np.asarray(src[ak]) < 0)))
     q = quadrics if quadrics and len(quadrics.get("q_type", [])) else _dummy_quadric()
     t = tris if tris and len(tris.get("t_idx", [])) else _dummy_tris()
     t.setdefault("t_shadow_alpha_tex",
@@ -130,6 +146,7 @@ def make_geometry(quadrics: Optional[dict] = None, tris: Optional[dict] = None,
     merged.update(t)
     merged.update(bvh)
     merged.update(alpha)
+    merged["iface_flag"] = np.zeros(1 if n_iface else 0, np.int32)
     return GeometryTables(**{k: jnp.asarray(v) for k, v in merged.items()})
 
 
@@ -368,6 +385,51 @@ def scene_intersect(tables: GeometryTables, ray: Ray) -> Interaction:
         return si._replace(t=jnp.where(hit, t, INFINITY))
     hit, t, prim = _closest_prim(tables, ray)
     return build_interaction(tables, ray, hit, t, prim)
+
+
+def _si_where(mask, a: Interaction, b: Interaction) -> Interaction:
+    """Per-lane select between two Interaction batches (mask (B,))."""
+    def w(x, y):
+        m = mask.reshape(mask.shape + (1,) * (x.ndim - mask.ndim))
+        return jnp.where(m, x, y)
+    return jax.tree_util.tree_map(w, a, b)
+
+
+def scene_intersect_passthrough(tables: GeometryTables, ray: Ray,
+                                max_skips: int = 8) -> Interaction:
+    """Closest hit that passes THROUGH medium-interface prims (material
+    "none"/-1 and no area light): the reference's path tracer continues a
+    BSDF-less hit in the same direction without consuming a bounce
+    (path.rs:143-152). Wavefront form: lanes whose hit is an interface
+    re-trace from just past it, up to max_skips rounds (while_loop — an
+    interface-free wavefront exits after one cond eval, and interface-free
+    SCENES skip the loop statically via has_interfaces). Emissive
+    material-less prims are treated as real hits (they emit, then the lane
+    dies), matching the reference for every scene whose lights carry
+    materials."""
+    si = scene_intersect(tables, ray)
+    if not tables.has_interfaces or max_skips <= 0:
+        return si
+
+    def pend(s):
+        return s.valid & (s.material < 0) & (s.arealight < 0)
+
+    def cond(carry):
+        s, _, k = carry
+        return jnp.any(pend(s)) & (k < max_skips)
+
+    def body(carry):
+        s, o_cur, k = carry
+        p = pend(s)
+        r2 = s.spawn_ray(ray.d)
+        o2 = jnp.where(p[..., None], r2.o, o_cur)
+        r = Ray(o=o2, d=ray.d, t_max=jnp.where(p, r2.t_max, 0.0))
+        s2 = scene_intersect(tables, r)
+        return _si_where(p, s2, s), o2, k + 1
+
+    si, _, _ = jax.lax.while_loop(
+        cond, body, (si, ray.o, jnp.zeros((), jnp.int32)))
+    return si
 
 
 def scene_intersect_p(tables: GeometryTables, ray: Ray):

@@ -49,9 +49,10 @@ def test_stats_populated_after_render():
                                               (0, 0, 0, 0))
     assert pcnt == 24 * 16 * 4
     assert 0 <= lo <= hi <= 4
-    # wavefront-model test counts: (2*4-1) regular, (4-1) shadow per lane
+    # wavefront-model test counts (merged-MIS path integrator): one closest
+    # hit per bounce (4) and one shadow probe per NEE (4-1) per lane
     assert S._counters.get("Intersections/Regular ray intersection tests") \
-        == 24 * 16 * 4 * 7
+        == 24 * 16 * 4 * 4
     assert S._counters.get("Intersections/Shadow ray intersection tests") \
         == 24 * 16 * 4 * 3
 
