@@ -313,6 +313,13 @@ def build_bvh_arrays(quad, tris, split_method="sah", max_prims=4):
         leaf_packed[:, k * 10 + 9] = tids[:, k].view(np.float32)
 
     threaded = pack_threaded(nodes_lo, nodes_hi, meta, child)
-    return dict(bvh_lo=nodes_lo, bvh_hi=nodes_hi, bvh_meta=meta,
-                bvh_prims=prims, bvh_nodes_packed=packed,
-                bvh_leaf_packed=leaf_packed, bvh_threaded=threaded)
+    out = dict(bvh_lo=nodes_lo, bvh_hi=nodes_hi, bvh_meta=meta,
+               bvh_prims=prims, bvh_nodes_packed=packed,
+               bvh_leaf_packed=leaf_packed, bvh_threaded=threaded)
+    # 16-wide structure (accel/wide.py) — the TPU hot path; the binary
+    # arrays above remain for tests/fallback
+    from .wide import build_wide_arrays
+    wide = build_wide_arrays(tris, split_method)
+    if wide is not None:
+        out.update(wide)
+    return out

@@ -1,0 +1,228 @@
+"""Device-side 16-wide BVH traversal: one 128-float row gather per step.
+
+Measured design point (v5e): incoherent gathers cost ~one ROW per lane-step
+independent of row width, so rays/s = row_rate / rows_per_ray. The binary
+threaded kernel (accel/traverse.py) needs ~100-190 rows/ray; this kernel
+gathers ONE unified record per step — either 16 child AABBs + links or 8
+baked triangles — for ~12-25 rows/ray. It replaces the reference's binary
+stack traversal (rustracer-core/src/bvh/mod.rs:366-501) as the hot path.
+
+Per-lane state is {row, visit-mask, short stack, t_best, prim}:
+- Children inside a record are pre-sorted near-to-far for the lane's ray
+  octant (8 interior-table copies, accel/wide.py), so "nearest unvisited
+  child" = lowest set bit of (boxhits & visit_mask) — no per-child t kept.
+- The stack holds (node_row, remaining_mask) pairs, depth = wide-tree depth
+  (≤ ~7 for 10^6 tris). It lives as D parallel (B,) registers updated by
+  where-chains — NOT a (B, D) array, which would need per-lane gathers.
+- On pop the node record is re-gathered and its boxes re-tested against the
+  tightened t_best (free culling; box tests are VPU work that overlaps the
+  gather).
+
+Divergence: same two-phase shape as the binary kernel — a fixed-trip
+majority pass, then argsort-compacted quarter-width drains. A fully-dead
+wavefront (e.g. fully masked shadow probes) skips everything via lax.cond.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.math import INFINITY
+from ..ops.triangle import triangle_intersect_c
+
+MAJORITY_ITERS = 12   # pass-1 fixed trip count (~p60 of rows/ray; swept on TPU)
+TAIL_FRACTION = 8     # pass-2 compacted width = B / TAIL_FRACTION (swept)
+FULL_MASK = (1 << 16) - 1
+
+
+def _bitcast_i32(x):
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+def _make_body(tables, any_hit: bool, D: int):
+    table = tables.bvh16_table            # (R, 128)
+    R = table.shape[0]
+
+    def body(s):
+        (row, vmask, sp, t_best, prim, done, stack_row, stack_mask,
+         rayc) = s
+        ox, oy, oz, dx, dy, dz, ix, iy, iz = rayc
+        active = ~done
+        rec = table[jnp.clip(row, 0, R - 1)]              # ONE row gather
+        # Everything below runs on (k, B) shapes: B maps onto the 128-lane
+        # axis at full utilization. Keeping the raw (B, 16)/(B, 8) slices
+        # puts the tiny child axis on lanes at 6-12% utilization and makes
+        # the VPU — not the gather — the bottleneck (measured ~3x).
+        recT = rec.T                                      # (128, B)
+        tag = _bitcast_i32(recT[0])
+        is_leaf = tag < 0
+
+        # --- interior interpretation: 16 slab tests (words 17..113) ---
+        lo_x = recT[17:33]
+        lo_y = recT[33:49]
+        lo_z = recT[49:65]
+        hi_x = recT[65:81]
+        hi_y = recT[81:97]
+        hi_z = recT[97:113]
+        r1 = lambda v: v[None, :]
+        t0x = (lo_x - r1(ox)) * r1(ix)
+        t1x = (hi_x - r1(ox)) * r1(ix)
+        t0y = (lo_y - r1(oy)) * r1(iy)
+        t1y = (hi_y - r1(oy)) * r1(iy)
+        t0z = (lo_z - r1(oz)) * r1(iz)
+        t1z = (hi_z - r1(oz)) * r1(iz)
+        t_near = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                         jnp.minimum(t0y, t1y)),
+                             jnp.minimum(t0z, t1z))
+        t_far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                        jnp.maximum(t0y, t1y)),
+                            jnp.maximum(t0z, t1z)) * 1.00000024
+        links = _bitcast_i32(recT[1:17])                  # (16, B)
+        box_hit = (t_near <= t_far) & (t_far > 0.0) & \
+            (t_near < r1(t_best)) & (links >= 0)
+        bits = jnp.sum(
+            jnp.where(box_hit,
+                      jnp.int32(1) << jnp.arange(16, dtype=jnp.int32)[:, None],
+                      0), axis=0)
+        m = bits & vmask
+
+        # --- leaf interpretation: 8 watertight tests (words 1..81) ---
+        tid = _bitcast_i32(recT[1:9])                     # (8, B)
+        blk = lambda j: recT[9 + j * 8:9 + (j + 1) * 8]
+        th = triangle_intersect_c(
+            (r1(ox), r1(oy), r1(oz)), (r1(dx), r1(dy), r1(dz)),
+            r1(t_best), (blk(0), blk(1), blk(2)),
+            (blk(3), blk(4), blk(5)), (blk(6), blk(7), blk(8)))
+        tri_ok = (is_leaf & active)[None, :] & (tid >= 0) & th.hit
+        t_cand = jnp.where(tri_ok, th.t, INFINITY)
+        # integer argmin, then where-chains on the INDEX: comparing floats
+        # against a separately-computed min is unsound under XLA (FMA
+        # contraction recomputes t_cand bitwise-differently per use)
+        j_min = jnp.argmin(t_cand, axis=0)
+        best_tid = jnp.full(j_min.shape, -1, jnp.int32)
+        t_min = jnp.full(j_min.shape, INFINITY)
+        for k in range(8):
+            at = j_min == k
+            best_tid = jnp.where(at & tri_ok[k], tid[k], best_tid)
+            t_min = jnp.where(at, t_cand[k], t_min)
+        upd = is_leaf & active & (best_tid >= 0) & (t_min < t_best)
+        t_best = jnp.where(upd, t_min, t_best)
+        prim = jnp.where(upd, best_tid, prim)
+
+        # --- choose next row: descend nearest unvisited child or pop ---
+        descend = active & ~is_leaf & (m != 0)
+        low = m & -m
+        slot = jax.lax.population_count(low - 1)
+        link = jnp.zeros_like(row)
+        for k in range(16):
+            link = jnp.where(slot == k, links[k], link)
+        rest = m & ~low
+        push = descend & (rest != 0)
+        for d in range(D):
+            at = push & (sp == d)
+            stack_row = tuple(jnp.where(at, row, sr) if d == e else sr
+                              for e, sr in enumerate(stack_row))
+            stack_mask = tuple(jnp.where(at, rest, sm) if d == e else sm
+                               for e, sm in enumerate(stack_mask))
+        sp = sp + push.astype(jnp.int32)
+
+        need_pop = active & ~descend
+        sp_top = sp - 1
+        prow = jnp.zeros_like(row)
+        pmask = jnp.zeros_like(vmask)
+        for d in range(D):
+            at = sp_top == d
+            prow = jnp.where(at, stack_row[d], prow)
+            pmask = jnp.where(at, stack_mask[d], pmask)
+        can_pop = need_pop & (sp > 0)
+        done = done | (need_pop & (sp == 0))
+        if any_hit:
+            done = done | (prim >= 0)
+        row = jnp.where(can_pop, prow,
+                        jnp.where(descend, link, row))
+        vmask = jnp.where(can_pop, pmask,
+                          jnp.where(descend, FULL_MASK, vmask))
+        sp = sp - can_pop.astype(jnp.int32)
+        return (row, vmask, sp, t_best, prim, done, stack_row, stack_mask,
+                rayc)
+
+    return body
+
+
+def _traverse16(tables, ray, any_hit: bool):
+    bs = ray.t_max.shape
+    D = tables.bvh16_depth_pad.shape[0]
+    body = _make_body(tables, any_hit, D)
+
+    def inv(c):
+        safe = jnp.where(jnp.abs(c) < 1e-20,
+                         jnp.where(c < 0, -1e-20, 1e-20), c)
+        return 1.0 / safe
+
+    ox, oy, oz = ray.o[..., 0], ray.o[..., 1], ray.o[..., 2]
+    dx, dy, dz = ray.d[..., 0], ray.d[..., 1], ray.d[..., 2]
+    rayc = (ox, oy, oz, dx, dy, dz, inv(dx), inv(dy), inv(dz))
+    octant = ((dx < 0).astype(jnp.int32)
+              | ((dy < 0).astype(jnp.int32) << 1)
+              | ((dz < 0).astype(jnp.int32) << 2))
+    zero_i = jnp.zeros(bs, jnp.int32)
+    init = (tables.bvh16_roots[octant],
+            jnp.full(bs, FULL_MASK, jnp.int32),
+            zero_i,
+            ray.t_max,
+            jnp.full(bs, -1, jnp.int32),
+            ray.t_max <= 0.0,                     # dead lanes start done
+            tuple(zero_i for _ in range(D)),
+            tuple(zero_i for _ in range(D)),
+            rayc)
+
+    def finish(final):
+        prim, t_best = final[4], final[3]
+        hit = prim >= 0
+        return hit, jnp.where(hit, t_best, INFINITY), jnp.maximum(prim, 0)
+
+    def run(init):
+        flat = len(bs) == 1 and bs[0] >= 4 * TAIL_FRACTION
+        if not flat:
+            final = jax.lax.while_loop(lambda s: jnp.any(~s[5]), body, init)
+            return finish(final)
+        state = jax.lax.fori_loop(0, MAJORITY_ITERS,
+                                  lambda i, s: body(s), init)
+        B = bs[0]
+        Bt = B // TAIL_FRACTION
+
+        def drain_round(s):
+            (row, vmask, sp, t_best, prim, done, st_r, st_m, rayc) = s
+            order = jnp.argsort(done)            # unfinished lanes first
+            sel = order[:Bt]
+            sub = (row[sel], vmask[sel], sp[sel], t_best[sel], prim[sel],
+                   done[sel], tuple(r[sel] for r in st_r),
+                   tuple(m[sel] for m in st_m),
+                   tuple(c[sel] for c in rayc))
+            sub = jax.lax.while_loop(lambda s2: jnp.any(~s2[5]), body, sub)
+            return (row.at[sel].set(sub[0]), vmask.at[sel].set(sub[1]),
+                    sp.at[sel].set(sub[2]), t_best.at[sel].set(sub[3]),
+                    prim.at[sel].set(sub[4]), done.at[sel].set(sub[5]),
+                    st_r, st_m, rayc)
+
+        final = jax.lax.while_loop(lambda s: jnp.any(~s[5]), drain_round,
+                                   state)
+        return finish(final)
+
+    # a fully-dead wavefront (masked-out shadow probes, final-bounce NEE)
+    # must not pay even the majority pass
+    def dead(init):
+        return (jnp.zeros(bs, bool), jnp.full(bs, INFINITY),
+                jnp.zeros(bs, jnp.int32))
+
+    return jax.lax.cond(jnp.any(ray.t_max > 0.0), run, dead, init)
+
+
+def bvh16_intersect_triangles(tables, ray):
+    """Closest hit over the wide BVH: (hit, t, tri_id)."""
+    return _traverse16(tables, ray, any_hit=False)
+
+
+def bvh16_intersect_p_triangles(tables, ray):
+    hit, _, _ = _traverse16(tables, ray, any_hit=True)
+    return hit

@@ -58,6 +58,11 @@ class GeometryTables(NamedTuple):
     bvh_nodes_packed: jnp.ndarray  # (N, 8): lo(3) hi(3) child mp (bitcast)
     bvh_leaf_packed: jnp.ndarray   # (L, 40): 4 x [p0 p1 p2 tid] baked tris
     bvh_threaded: jnp.ndarray      # (8N, 8): per-octant stackless links
+    # 16-wide BVH (accel/wide.py): unified 128-float records, 8 per-octant
+    # interior copies + shared leaf block; length-1 table = disabled
+    bvh16_table: jnp.ndarray       # (R, 128)
+    bvh16_roots: jnp.ndarray       # (8,) int32 per-octant root rows
+    bvh16_depth_pad: jnp.ndarray   # shape (depth,) — static stack depth
     # shape-(1,) when any REAL prim is a medium interface (material "none",
     # no area light — path.rs:143-152 pass-through), shape-(0,) otherwise:
     # a static signal so interface-free scenes skip the re-trace loop
@@ -74,6 +79,10 @@ class GeometryTables(NamedTuple):
     @property
     def has_bvh(self):
         return self.bvh_meta.shape[0] > 1
+
+    @property
+    def has_bvh16(self):
+        return self.bvh16_table.shape[0] > 1
 
     @property
     def has_alpha(self):
@@ -134,13 +143,20 @@ def make_geometry(quadrics: Optional[dict] = None, tris: Optional[dict] = None,
         alpha = dict(alpha_atlas=np.ones(1, np.float32),
                      alpha_meta=np.zeros((1, 3), np.int32))
     if bvh is None:
-        bvh = dict(bvh_lo=np.zeros((1, 3), np.float32),
-                   bvh_hi=np.zeros((1, 3), np.float32),
-                   bvh_meta=np.zeros((1, 3), np.int32),
-                   bvh_prims=np.zeros(1, np.int32))
+        bvh = {}
+    bvh.setdefault("bvh_lo", np.zeros((1, 3), np.float32))
+    bvh.setdefault("bvh_hi", np.zeros((1, 3), np.float32))
+    bvh.setdefault("bvh_meta", np.zeros((1, 3), np.int32))
+    bvh.setdefault("bvh_prims", np.zeros(1, np.int32))
     bvh.setdefault("bvh_nodes_packed", np.zeros((1, 8), np.float32))
     bvh.setdefault("bvh_leaf_packed", np.zeros((1, 40), np.float32))
     bvh.setdefault("bvh_threaded", np.zeros((1, 8), np.float32))
+    bvh.setdefault("bvh16_table", np.zeros((1, 128), np.float32))
+    bvh.setdefault("bvh16_roots", np.zeros(8, np.int32))
+    if "bvh16_depth" in bvh:
+        bvh["bvh16_depth_pad"] = np.zeros(int(bvh.pop("bvh16_depth")),
+                                          np.float32)
+    bvh.setdefault("bvh16_depth_pad", np.zeros(1, np.float32))
     merged = {}
     merged.update(q)
     merged.update(t)
@@ -242,7 +258,11 @@ def _closest_prim(tables: GeometryTables, ray: Ray):
     """Closest hit over quadrics + triangles → (hit, t, global prim id)."""
     nq = tables.n_quadrics
     qhit, qt, qid = intersect_quadrics_all(tables, ray)
-    if tables.has_bvh:
+    if tables.has_bvh16:
+        from ..accel.traverse16 import bvh16_intersect_triangles
+        ray_t = ray._replace(t_max=jnp.where(qhit, qt, ray.t_max))
+        thit, tt, tid = bvh16_intersect_triangles(tables, ray_t)
+    elif tables.has_bvh:
         from ..accel.traverse import bvh_intersect_triangles
         # tighten t_max with the quadric hit before traversal
         ray_t = ray._replace(t_max=jnp.where(qhit, qt, ray.t_max))
@@ -441,6 +461,11 @@ def scene_intersect_p(tables: GeometryTables, ray: Ray):
             cols=(tables.t_alpha_tex, tables.t_shadow_alpha_tex))
         return hit
     qhit, _, _ = intersect_quadrics_all(tables, ray)
+    if tables.has_bvh16:
+        from ..accel.traverse16 import bvh16_intersect_p_triangles
+        thit = bvh16_intersect_p_triangles(tables, ray._replace(
+            t_max=jnp.where(qhit, jnp.zeros_like(ray.t_max), ray.t_max)))
+        return qhit | thit
     if tables.has_bvh:
         from ..accel.traverse import bvh_intersect_p_triangles
         thit = bvh_intersect_p_triangles(tables, ray._replace(
