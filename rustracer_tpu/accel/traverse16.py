@@ -18,6 +18,14 @@ Per-lane state is {row, visit-mask, short stack, t_best, prim}:
   tightened t_best (free culling; box tests are VPU work that overlaps the
   gather).
 
+Instancing (reference primitive.rs:89-118 TransformedPrimitive): instanced
+scenes add a third record type — hitting an instance record transforms the
+lane's ray into object space (direction left UNNORMALIZED so the t parameter
+stays comparable across spaces) and jumps to the object's BLAS root for the
+object-ray octant. Popping back below the instance-entry stack height
+restores the world-space ray. Scenes without instances keep the original
+smaller state (statically specialized on tables.has_instances).
+
 Divergence: same two-phase shape as the binary kernel — a fixed-trip
 majority pass, then argsort-compacted quarter-width drains. A fully-dead
 wavefront (e.g. fully masked shadow probes) skips everything via lax.cond.
@@ -29,6 +37,7 @@ import jax.numpy as jnp
 
 from ..core.math import INFINITY
 from ..ops.triangle import triangle_intersect_c
+from .wide import TAG_INST
 
 MAJORITY_ITERS = 12   # pass-1 fixed trip count (~p60 of rows/ray; swept on TPU)
 TAIL_FRACTION = 8     # pass-2 compacted width = B / TAIL_FRACTION (swept)
@@ -39,13 +48,23 @@ def _bitcast_i32(x):
     return jax.lax.bitcast_convert_type(x, jnp.int32)
 
 
-def _make_body(tables, any_hit: bool, D: int):
+def _inv_dir(c):
+    safe = jnp.where(jnp.abs(c) < 1e-20,
+                     jnp.where(c < 0, -1e-20, 1e-20), c)
+    return 1.0 / safe
+
+
+def _make_body(tables, any_hit: bool, D: int, instanced: bool = False):
     table = tables.bvh16_table            # (R, 128)
     R = table.shape[0]
 
     def body(s):
-        (row, vmask, sp, t_best, prim, done, stack_row, stack_mask,
-         rayc) = s
+        if instanced:
+            (row, vmask, sp, t_best, prim, done, stack_row, stack_mask,
+             rayc, worldc, inst_cur, inst_sp, inst_best) = s
+        else:
+            (row, vmask, sp, t_best, prim, done, stack_row, stack_mask,
+             rayc) = s
         ox, oy, oz, dx, dy, dz, ix, iy, iz = rayc
         active = ~done
         rec = table[jnp.clip(row, 0, R - 1)]              # ONE row gather
@@ -56,6 +75,11 @@ def _make_body(tables, any_hit: bool, D: int):
         recT = rec.T                                      # (128, B)
         tag = _bitcast_i32(recT[0])
         is_leaf = tag < 0
+        if instanced:
+            is_inst = tag >= TAG_INST
+            is_int = ~is_leaf & ~is_inst
+        else:
+            is_int = ~is_leaf
 
         # --- interior interpretation: 16 slab tests (words 17..113) ---
         lo_x = recT[17:33]
@@ -108,9 +132,35 @@ def _make_body(tables, any_hit: bool, D: int):
         upd = is_leaf & active & (best_tid >= 0) & (t_min < t_best)
         t_best = jnp.where(upd, t_min, t_best)
         prim = jnp.where(upd, best_tid, prim)
+        if instanced:
+            inst_best = jnp.where(upd, inst_cur, inst_best)
+
+        # --- instance interpretation: transform ray, jump to BLAS root ---
+        if instanced:
+            wox, woy, woz, wdx, wdy, wdz = worldc[:6]
+            mm = [recT[10 + i] for i in range(12)]
+            box_ = mm[0] * wox + mm[1] * woy + mm[2] * woz + mm[3]
+            boy_ = mm[4] * wox + mm[5] * woy + mm[6] * woz + mm[7]
+            boz_ = mm[8] * wox + mm[9] * woy + mm[10] * woz + mm[11]
+            bdx = mm[0] * wdx + mm[1] * wdy + mm[2] * wdz
+            bdy = mm[4] * wdx + mm[5] * wdy + mm[6] * wdz
+            bdz = mm[8] * wdx + mm[9] * wdy + mm[10] * wdz
+            # direction stays unnormalized: t is the same parameter in both
+            # spaces, so t_best needs no rescaling across the transition
+            oct_o = ((bdx < 0).astype(jnp.int32)
+                     | ((bdy < 0).astype(jnp.int32) << 1)
+                     | ((bdz < 0).astype(jnp.int32) << 2))
+            roots8 = _bitcast_i32(recT[1:9])              # (8, B)
+            blas_root = jnp.zeros_like(row)
+            for k in range(8):
+                blas_root = jnp.where(oct_o == k, roots8[k], blas_root)
+            rec_inst = _bitcast_i32(recT[9])
+            enter = active & is_inst
+        else:
+            enter = jnp.zeros_like(done)
 
         # --- choose next row: descend nearest unvisited child or pop ---
-        descend = active & ~is_leaf & (m != 0)
+        descend = active & is_int & (m != 0)
         low = m & -m
         slot = jax.lax.population_count(low - 1)
         link = jnp.zeros_like(row)
@@ -126,7 +176,7 @@ def _make_body(tables, any_hit: bool, D: int):
                                for e, sm in enumerate(stack_mask))
         sp = sp + push.astype(jnp.int32)
 
-        need_pop = active & ~descend
+        need_pop = active & ~descend & ~enter
         sp_top = sp - 1
         prow = jnp.zeros_like(row)
         pmask = jnp.zeros_like(vmask)
@@ -143,8 +193,28 @@ def _make_body(tables, any_hit: bool, D: int):
         vmask = jnp.where(can_pop, pmask,
                           jnp.where(descend, FULL_MASK, vmask))
         sp = sp - can_pop.astype(jnp.int32)
+
+        if not instanced:
+            return (row, vmask, sp, t_best, prim, done, stack_row,
+                    stack_mask, rayc)
+
+        # instance entry: jump into the BLAS with the object-space ray
+        row = jnp.where(enter, blas_root, row)
+        vmask = jnp.where(enter, FULL_MASK, vmask)
+        # popping below the entry height exits the instance: restore the
+        # world ray (instances cannot nest — BLAS holds no instance records)
+        exit_i = can_pop & (inst_cur >= 0) & (sp_top < inst_sp)
+        inst_cur = jnp.where(enter, rec_inst,
+                             jnp.where(exit_i, -1, inst_cur))
+        inst_sp = jnp.where(enter, sp, inst_sp)
+        in_obj = inst_cur >= 0
+        new_obj = (box_, boy_, boz_, bdx, bdy, bdz,
+                   _inv_dir(bdx), _inv_dir(bdy), _inv_dir(bdz))
+        rayc = tuple(jnp.where(enter, no,
+                               jnp.where(in_obj, rc, wc))
+                     for no, rc, wc in zip(new_obj, rayc, worldc))
         return (row, vmask, sp, t_best, prim, done, stack_row, stack_mask,
-                rayc)
+                rayc, worldc, inst_cur, inst_sp, inst_best)
 
     return body
 
@@ -152,16 +222,12 @@ def _make_body(tables, any_hit: bool, D: int):
 def _traverse16(tables, ray, any_hit: bool):
     bs = ray.t_max.shape
     D = tables.bvh16_depth_pad.shape[0]
-    body = _make_body(tables, any_hit, D)
-
-    def inv(c):
-        safe = jnp.where(jnp.abs(c) < 1e-20,
-                         jnp.where(c < 0, -1e-20, 1e-20), c)
-        return 1.0 / safe
+    instanced = tables.has_instances
+    body = _make_body(tables, any_hit, D, instanced)
 
     ox, oy, oz = ray.o[..., 0], ray.o[..., 1], ray.o[..., 2]
     dx, dy, dz = ray.d[..., 0], ray.d[..., 1], ray.d[..., 2]
-    rayc = (ox, oy, oz, dx, dy, dz, inv(dx), inv(dy), inv(dz))
+    rayc = (ox, oy, oz, dx, dy, dz, _inv_dir(dx), _inv_dir(dy), _inv_dir(dz))
     octant = ((dx < 0).astype(jnp.int32)
               | ((dy < 0).astype(jnp.int32) << 1)
               | ((dz < 0).astype(jnp.int32) << 2))
@@ -175,11 +241,18 @@ def _traverse16(tables, ray, any_hit: bool):
             tuple(zero_i for _ in range(D)),
             tuple(zero_i for _ in range(D)),
             rayc)
+    if instanced:
+        init = init + (rayc,                      # immutable world-space copy
+                       jnp.full(bs, -1, jnp.int32),   # inst_cur
+                       zero_i,                        # inst_sp
+                       jnp.full(bs, -1, jnp.int32))   # inst_best
 
     def finish(final):
         prim, t_best = final[4], final[3]
         hit = prim >= 0
-        return hit, jnp.where(hit, t_best, INFINITY), jnp.maximum(prim, 0)
+        inst = final[12] if instanced else jnp.full(bs, -1, jnp.int32)
+        return (hit, jnp.where(hit, t_best, INFINITY),
+                jnp.maximum(prim, 0), jnp.where(hit, inst, -1))
 
     def run(init):
         flat = len(bs) == 1 and bs[0] >= 4 * TAIL_FRACTION
@@ -192,18 +265,12 @@ def _traverse16(tables, ray, any_hit: bool):
         Bt = B // TAIL_FRACTION
 
         def drain_round(s):
-            (row, vmask, sp, t_best, prim, done, st_r, st_m, rayc) = s
-            order = jnp.argsort(done)            # unfinished lanes first
+            order = jnp.argsort(s[5])            # unfinished lanes first
             sel = order[:Bt]
-            sub = (row[sel], vmask[sel], sp[sel], t_best[sel], prim[sel],
-                   done[sel], tuple(r[sel] for r in st_r),
-                   tuple(m[sel] for m in st_m),
-                   tuple(c[sel] for c in rayc))
+            sub = jax.tree.map(lambda x: x[sel], s)
             sub = jax.lax.while_loop(lambda s2: jnp.any(~s2[5]), body, sub)
-            return (row.at[sel].set(sub[0]), vmask.at[sel].set(sub[1]),
-                    sp.at[sel].set(sub[2]), t_best.at[sel].set(sub[3]),
-                    prim.at[sel].set(sub[4]), done.at[sel].set(sub[5]),
-                    st_r, st_m, rayc)
+            return jax.tree.map(lambda full, st: full.at[sel].set(st),
+                                s, sub)
 
         final = jax.lax.while_loop(lambda s: jnp.any(~s[5]), drain_round,
                                    state)
@@ -213,16 +280,23 @@ def _traverse16(tables, ray, any_hit: bool):
     # must not pay even the majority pass
     def dead(init):
         return (jnp.zeros(bs, bool), jnp.full(bs, INFINITY),
-                jnp.zeros(bs, jnp.int32))
+                jnp.zeros(bs, jnp.int32), jnp.full(bs, -1, jnp.int32))
 
     return jax.lax.cond(jnp.any(ray.t_max > 0.0), run, dead, init)
 
 
 def bvh16_intersect_triangles(tables, ray):
     """Closest hit over the wide BVH: (hit, t, tri_id)."""
+    hit, t, tid, _ = _traverse16(tables, ray, any_hit=False)
+    return hit, t, tid
+
+
+def bvh16_intersect_triangles_inst(tables, ray):
+    """Closest hit with instancing: (hit, t, tri_id, instance_id).
+    instance_id is -1 for static-geometry hits."""
     return _traverse16(tables, ray, any_hit=False)
 
 
 def bvh16_intersect_p_triangles(tables, ray):
-    hit, _, _ = _traverse16(tables, ray, any_hit=True)
+    hit, _, _, _ = _traverse16(tables, ray, any_hit=True)
     return hit

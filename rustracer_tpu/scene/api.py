@@ -181,6 +181,14 @@ class RenderOptions:
     infinite_lights: List[dict] = dataclasses.field(default_factory=list)
     instances: Dict[str, list] = dataclasses.field(default_factory=dict)
     current_instance: Optional[str] = None
+    # shared-geometry instancing (primitive.rs:89-118): each named object's
+    # mesh records are baked ONCE; every ObjectInstance adds only a
+    # transform. instance_objects[i] = list of MeshRecords of object i;
+    # instance_list = (object id, instance-to-world Transform) per instance.
+    instanced_objects: Dict[str, int] = dataclasses.field(
+        default_factory=dict)
+    instance_objects: List[list] = dataclasses.field(default_factory=list)
+    instance_list: List[tuple] = dataclasses.field(default_factory=list)
 
 
 class RealApi:
@@ -434,16 +442,34 @@ class RealApi:
         self.attribute_end()
 
     def object_instance(self, name):
+        """Apply the current CTM as instance-to-world over the named
+        object's records (api.rs:1019-1090 → TransformedPrimitive,
+        primitive.rs:89-118). Mesh geometry is SHARED: one baked copy per
+        object, O(1 transform) per instance. Quadrics (parameter-only, a
+        few floats each) and emissive meshes (the light table references
+        concrete prim rows) are cloned per instance instead."""
         self._verify_world("object_instance")
-        records = self.render_options.instances.get(name)
+        ro = self.render_options
+        records = ro.instances.get(name)
         if records is None:
             log.error("unknown object instance %r", name)
             return
         inst = self.cur_transform
+        shared = []
         for rec in records:
+            if isinstance(rec, MeshRecord) and rec.arealight_spec is None:
+                shared.append(rec)
+                continue
             rec2 = copy.copy(rec)
             rec2.o2w = inst * rec.o2w
             self._push_record(rec2)
+        if shared:
+            oid = ro.instanced_objects.get(name)
+            if oid is None:
+                oid = len(ro.instance_objects)
+                ro.instanced_objects[name] = oid
+                ro.instance_objects.append(shared)
+            ro.instance_list.append((oid, inst))
 
     # --- shapes (api.rs:913-966, make_shapes 1093-1139) ---
     def shape(self, name, params):

@@ -140,12 +140,19 @@ def _emit_geometry(api):
     if quad is not None:
         quad["q_arealight"] = np.array(q_al, np.int32)
 
-    # meshes: transform to world & concatenate (mesh.rs:30-60 world pre-xform)
+    # meshes: transform to world & concatenate (mesh.rs:30-60 world
+    # pre-xform). Instanced objects (primitive.rs:89-118) are baked ONCE in
+    # instance space (their creation CTM applied) after the static meshes;
+    # their rows stay object-space and are entered through instance records
+    # in the wide BVH.
     vs, ns_, uvs, ss_, idxs = [], [], [], [], []
     t_mat, t_al, t_rev, t_has_n, t_has_uv = [], [], [], [], []
     t_alpha, t_shadow_alpha = [], []
     v_off = 0
-    for rec in ro.meshes:
+
+    def emit_mesh(rec, arealights=True):
+        nonlocal v_off, t_mat, t_al, t_rev, t_has_n, t_has_uv, \
+            t_alpha, t_shadow_alpha
         p = rec.o2w.apply_point(rec.p)
         nv = p.shape[0]
         vs.append(p.astype(np.float32))
@@ -174,7 +181,7 @@ def _emit_geometry(api):
         t_has_uv += [has_uv] * nt
         t_alpha += [alpha_id(rec.alpha_tex)] * nt
         t_shadow_alpha += [alpha_id(rec.shadow_alpha_tex)] * nt
-        if rec.arealight_spec is not None:
+        if arealights and rec.arealight_spec is not None:
             emit, two = rec.arealight_spec
             # one DiffuseAreaLight per triangle (api.rs:934-946 semantics)
             base_tri = sum(len(x) for x in idxs[:-1])
@@ -186,6 +193,24 @@ def _emit_geometry(api):
         else:
             t_al += [-1] * nt
         v_off += nv
+
+    for rec in ro.meshes:
+        emit_mesh(rec)
+
+    inst = None
+    if ro.instance_list:
+        n_static_verts = v_off
+        obj_ranges = []
+        for obj_recs in ro.instance_objects:
+            tri_lo = sum(len(x) for x in idxs)
+            for rec in obj_recs:
+                emit_mesh(rec, arealights=False)
+            obj_ranges.append((tri_lo, sum(len(x) for x in idxs)))
+        instances = [dict(obj=oid, o2w=T.m, w2o=T.m_inv,
+                          flip=bool(T.swaps_handedness()))
+                     for oid, T in ro.instance_list]
+        inst = dict(objects=obj_ranges, instances=instances,
+                    n_static_verts=n_static_verts)
 
     tris = None
     if idxs:
@@ -212,14 +237,32 @@ def _emit_geometry(api):
         if atlas.size <= 1:  # has_alpha is a static shape check (> 1)
             atlas = np.concatenate([atlas, np.zeros(1, np.float32)])
         alpha = dict(alpha_atlas=atlas, alpha_meta=meta)
-    return quad, tris, light_rows, alpha
+    return quad, tris, light_rows, alpha, inst
 
 
-def _world_bounds(quad, tris):
+def _world_bounds(quad, tris, inst=None):
     los, his = [], []
     if tris is not None and len(tris["tv_p"]):
-        los.append(tris["tv_p"].min(0))
-        his.append(tris["tv_p"].max(0))
+        if inst is None:
+            los.append(tris["tv_p"].min(0))
+            his.append(tris["tv_p"].max(0))
+        else:
+            # instanced rows are object-space: bound the static verts plus
+            # each instance's transformed object AABB
+            from ..accel.wide import _xform_aabb
+            nsv = inst["n_static_verts"]
+            if nsv:
+                los.append(tris["tv_p"][:nsv].min(0))
+                his.append(tris["tv_p"][:nsv].max(0))
+            t_idx = tris["t_idx"]
+            for r in inst["instances"]:
+                alo, ahi = inst["objects"][r["obj"]]
+                vids = t_idx[alo:ahi].ravel()
+                ov = tris["tv_p"][vids.min():vids.max() + 1]
+                lo, hi = _xform_aabb(np.asarray(r["o2w"], np.float32),
+                                     ov.min(0), ov.max(0))
+                los.append(lo)
+                his.append(hi)
     if quad is not None:
         from ..ops.quadrics import quadric_world_bounds_np
         lo, hi = quadric_world_bounds_np(quad["q_type"], quad["q_o2w"],
@@ -238,17 +281,25 @@ def _world_bounds(quad, tris):
 
 def build_bundle(api) -> SceneBundle:
     ro = api.render_options
-    quad, tris, light_rows, alpha = _emit_geometry(api)
+    quad, tris, light_rows, alpha, inst = _emit_geometry(api)
 
     # BVH over everything (accelerator "bvh"; api.rs:263-276)
     bvh = None
+    split = ro.accelerator_params.find_one_string("splitmethod", "sah")
     n_prims = (len(ro.quadrics) if quad else 0) + \
         (len(tris["t_idx"]) if tris else 0)
-    if n_prims > 8:
+    if inst is not None:
+        # instanced scenes ALWAYS build the two-level wide BVH (the only
+        # kernel that understands instance records)
+        from ..accel.wide import build_wide_scene
+        from ..utils.stats import time_phase
+        with time_phase("scene/BVH build"):
+            bvh = build_wide_scene(tris, inst["objects"], inst["instances"],
+                                   split_method=split)
+    elif n_prims > 8:
         try:
             from ..accel.bvh import build_bvh_arrays
             from ..utils.stats import time_phase
-            split = ro.accelerator_params.find_one_string("splitmethod", "sah")
             maxprims = ro.accelerator_params.find_one_int("maxnodeprims", 4)
             with time_phase("scene/BVH build"):
                 bvh = build_bvh_arrays(quad, tris, split_method=split,
@@ -257,7 +308,7 @@ def build_bundle(api) -> SceneBundle:
             log.warning("BVH module unavailable; brute-force intersection")
 
     geom = make_geometry(quadrics=quad, tris=tris, bvh=bvh, alpha=alpha)
-    center, radius, world_lo, world_hi = _world_bounds(quad, tris)
+    center, radius, world_lo, world_hi = _world_bounds(quad, tris, inst)
 
     infinite = []
     for inf in ro.infinite_lights:
@@ -391,7 +442,7 @@ def _report_build_stats(geom, lights, ms, film, textures, tris, bvh,
         mesh_bytes = sum(np.asarray(tris[k]).nbytes for k in
                          ("tv_p", "tv_n", "tv_uv", "tv_s", "t_idx"))
         S.memory_add("Memory/Triangle meshes", mesh_bytes)
-    if bvh is not None:
+    if bvh is not None and "bvh_meta" in bvh:
         meta = np.asarray(bvh["bvh_meta"])
         is_leaf = meta[:, 1] > 0
         n_leaf = int(is_leaf.sum())

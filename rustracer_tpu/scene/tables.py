@@ -63,6 +63,13 @@ class GeometryTables(NamedTuple):
     bvh16_table: jnp.ndarray       # (R, 128)
     bvh16_roots: jnp.ndarray       # (8,) int32 per-octant root rows
     bvh16_depth_pad: jnp.ndarray   # shape (depth,) — static stack depth
+    # object instancing (primitive.rs:89-118 TransformedPrimitive): shared
+    # per-object BLAS entered via instance records in the wide BVH; the
+    # instanced triangles' rows in tv_p/t_idx hold OBJECT-space data and a
+    # hit carries (tri_id, instance_id). Length-1 identity = no instances.
+    inst_o2w: jnp.ndarray          # (I, 4, 4)
+    inst_w2o: jnp.ndarray          # (I, 4, 4)
+    inst_flip: jnp.ndarray         # (I,) bool — transform swaps handedness
     # shape-(1,) when any REAL prim is a medium interface (material "none",
     # no area light — path.rs:143-152 pass-through), shape-(0,) otherwise:
     # a static signal so interface-free scenes skip the re-trace loop
@@ -83,6 +90,10 @@ class GeometryTables(NamedTuple):
     @property
     def has_bvh16(self):
         return self.bvh16_table.shape[0] > 1
+
+    @property
+    def has_instances(self):
+        return self.inst_o2w.shape[0] > 1
 
     @property
     def has_alpha(self):
@@ -157,6 +168,9 @@ def make_geometry(quadrics: Optional[dict] = None, tris: Optional[dict] = None,
         bvh["bvh16_depth_pad"] = np.zeros(int(bvh.pop("bvh16_depth")),
                                           np.float32)
     bvh.setdefault("bvh16_depth_pad", np.zeros(1, np.float32))
+    bvh.setdefault("inst_o2w", np.eye(4, dtype=np.float32)[None])
+    bvh.setdefault("inst_w2o", np.eye(4, dtype=np.float32)[None])
+    bvh.setdefault("inst_flip", np.zeros(1, bool))
     merged = {}
     merged.update(q)
     merged.update(t)
@@ -255,25 +269,30 @@ def intersect_triangles_brute(tables: GeometryTables, ray: Ray):
 
 
 def _closest_prim(tables: GeometryTables, ray: Ray):
-    """Closest hit over quadrics + triangles → (hit, t, global prim id)."""
+    """Closest hit over quadrics + triangles → (hit, t, global prim id,
+    instance id). Instance id is -1 except for hits on instanced triangles
+    (primitive.rs:89-118)."""
     nq = tables.n_quadrics
     qhit, qt, qid = intersect_quadrics_all(tables, ray)
+    inst = jnp.full(ray.t_max.shape, -1, jnp.int32)
     if tables.has_bvh16:
-        from ..accel.traverse16 import bvh16_intersect_triangles
+        from ..accel.traverse16 import bvh16_intersect_triangles_inst
         ray_t = ray._replace(t_max=jnp.where(qhit, qt, ray.t_max))
-        thit, tt, tid = bvh16_intersect_triangles(tables, ray_t)
+        thit, tt, tid, inst = bvh16_intersect_triangles_inst(tables, ray_t)
     elif tables.has_bvh:
         from ..accel.traverse import bvh_intersect_triangles
         # tighten t_max with the quadric hit before traversal
         ray_t = ray._replace(t_max=jnp.where(qhit, qt, ray.t_max))
         thit, tt, tid = bvh_intersect_triangles(tables, ray_t)
     else:
+        assert not tables.has_instances, \
+            "instanced scenes require the wide BVH (bvh16) path"
         thit, tt, tid = intersect_triangles_brute(tables, ray)
     use_tri = thit & (~qhit | (tt < qt))
     hit = qhit | thit
     t = jnp.where(use_tri, tt, qt)
     prim = jnp.where(use_tri, tid + nq, qid)
-    return hit, t, prim
+    return hit, t, prim, jnp.where(use_tri, inst, -1)
 
 
 def _alpha_at(tables: GeometryTables, aid, uv):
@@ -307,12 +326,23 @@ def _alpha_at(tables: GeometryTables, aid, uv):
     return jnp.where(aid >= 0, a, 1.0)
 
 
-def _tri_hit_uv(tables: GeometryTables, ray: Ray, t, tid):
+def _inst_xform_pts(tables: GeometryTables, inst, *pts):
+    """Object→world transform of gathered vertex positions for instanced
+    hits (inst >= 0); static hits pass through unchanged."""
+    if not tables.has_instances or inst is None:
+        return pts
+    o2w = tables.inst_o2w[jnp.maximum(inst, 0)]
+    use = (inst >= 0)[..., None]
+    return tuple(jnp.where(use, xform_point(o2w, p), p) for p in pts)
+
+
+def _tri_hit_uv(tables: GeometryTables, ray: Ray, t, tid, inst=None):
     """Interpolated uv of triangle `tid` at ray parameter ~t."""
     idx = tables.t_idx[tid]
     p0 = tables.tv_p[idx[..., 0]]
     p1 = tables.tv_p[idx[..., 1]]
     p2 = tables.tv_p[idx[..., 2]]
+    p0, p1, p2 = _inst_xform_pts(tables, inst, p0, p1, p2)
     th = triangle_intersect(ray.o, ray.d, t * 1.0001 + 1e-4, p0, p1, p2)
     has_uv = tables.t_has_uv[tid]
     z = jnp.zeros_like(t)
@@ -341,50 +371,52 @@ def _closest_with_alpha(tables: GeometryTables, ray: Ray, cols,
     def trace_round(t_off):
         o2 = ray.o + ray.d * t_off[..., None]
         r2 = ray._replace(o=o2, t_max=ray.t_max - t_off)
-        hit, t, prim = _closest_prim(tables, r2)
+        hit, t, prim, inst = _closest_prim(tables, r2)
         is_tri = hit & (prim >= nq)
         tid = jnp.clip(jnp.where(is_tri, prim - nq, 0), 0,
                        tables.n_triangles - 1)
-        uv = _tri_hit_uv(tables, r2, t, tid)
+        uv = _tri_hit_uv(tables, r2, t, tid, inst)
         rej = jnp.zeros(bs, bool)
         for col in cols:
             aid = jnp.where(is_tri, col[tid], -1)
             rej = rej | (is_tri & (aid >= 0) & (_alpha_at(tables, aid, uv)
                                                 == 0.0))
-        return hit, t, prim, rej
+        return hit, t, prim, inst, rej
 
-    hit0, t0, prim0, rej0 = trace_round(jnp.zeros(bs, jnp.float32))
+    hit0, t0, prim0, inst0, rej0 = trace_round(jnp.zeros(bs, jnp.float32))
     # loop state carries the rejected surface's local t so the next round
     # restarts just past it
     state = (jnp.zeros(bs, jnp.float32),                 # t_off
              jnp.where(rej0, False, hit0),               # accepted hit
              jnp.where(rej0, INFINITY, t0),              # accepted local t
              jnp.where(rej0, -1, prim0),                 # accepted prim
+             jnp.where(rej0, -1, inst0),                 # accepted instance
              rej0 & hit0,                                # pending re-trace
              jnp.zeros((), jnp.int32),                   # round counter
              jnp.where(rej0, t0, 0.0))                   # rejected local t
 
     def body2(s):
-        t_off, hit, t_loc, prim, pending, k, rej_t = s
+        t_off, hit, t_loc, prim, inst, pending, k, rej_t = s
         t_off = jnp.where(pending,
                           t_off + rej_t * 1.0001 + 1e-5, t_off)
-        h2, t2, p2, rej2 = trace_round(t_off)
+        h2, t2, p2, i2, rej2 = trace_round(t_off)
         accept = pending & ~rej2
         hit = jnp.where(accept, h2, hit)
         t_loc = jnp.where(accept, t2, t_loc)
         prim = jnp.where(accept, p2, prim)
+        inst = jnp.where(accept, i2, inst)
         rej_t = jnp.where(pending & rej2, t2, rej_t)
         pending = pending & rej2 & h2 & (t_off < ray.t_max)
-        return (t_off, hit, t_loc, prim, pending, k + 1, rej_t)
+        return (t_off, hit, t_loc, prim, inst, pending, k + 1, rej_t)
 
     def cond2(s):
-        return jnp.any(s[4]) & (s[5] < max_rounds)
+        return jnp.any(s[5]) & (s[6] < max_rounds)
 
-    t_off, hit, t_loc, prim, _, _, _ = jax.lax.while_loop(cond2, body2,
-                                                          state)
+    t_off, hit, t_loc, prim, inst, _, _, _ = jax.lax.while_loop(cond2, body2,
+                                                                state)
     t = jnp.where(hit, t_off + t_loc, INFINITY)
     prim = jnp.where(hit, jnp.maximum(prim, 0), 0)
-    return hit, t, prim, t_off
+    return hit, t, prim, inst, t_off
 
 
 def scene_intersect(tables: GeometryTables, ray: Ray) -> Interaction:
@@ -394,17 +426,18 @@ def scene_intersect(tables: GeometryTables, ray: Ray) -> Interaction:
     counts are tiny and stay brute-force either way. Alpha-masked scenes
     re-trace past cutout hits (mesh.rs alpha semantics)."""
     if tables.has_alpha:
-        hit, t, prim, t_off = _closest_with_alpha(
+        hit, t, prim, inst, t_off = _closest_with_alpha(
             tables, ray, cols=(tables.t_alpha_tex,))
         # rebuild the interaction against the advanced ray so the winning
         # surface is re-intersected exactly
         ray_adv = ray._replace(o=ray.o + ray.d * t_off[..., None],
                                t_max=ray.t_max - t_off)
         si = build_interaction(tables, ray_adv, hit,
-                               jnp.where(hit, t - t_off, INFINITY), prim)
+                               jnp.where(hit, t - t_off, INFINITY), prim,
+                               inst)
         return si._replace(t=jnp.where(hit, t, INFINITY))
-    hit, t, prim = _closest_prim(tables, ray)
-    return build_interaction(tables, ray, hit, t, prim)
+    hit, t, prim, inst = _closest_prim(tables, ray)
+    return build_interaction(tables, ray, hit, t, prim, inst)
 
 
 def _si_where(mask, a: Interaction, b: Interaction) -> Interaction:
@@ -456,7 +489,7 @@ def scene_intersect_p(tables: GeometryTables, ray: Ray):
     """Any-hit (shadow) test: returns (...) bool occluded."""
     if tables.has_alpha:
         # shadow rays honor BOTH alpha and shadowalpha (mesh.rs:572-577)
-        hit, _, _, _ = _closest_with_alpha(
+        hit, _, _, _, _ = _closest_with_alpha(
             tables, ray,
             cols=(tables.t_alpha_tex, tables.t_shadow_alpha_tex))
         return hit
@@ -479,7 +512,8 @@ def scene_intersect_p(tables: GeometryTables, ray: Ray):
 # Phase 2: rebuild the winning hit's SurfaceInteraction
 # ---------------------------------------------------------------------------
 
-def build_interaction(tables: GeometryTables, ray: Ray, hit, t, prim) -> Interaction:
+def build_interaction(tables: GeometryTables, ray: Ray, hit, t, prim,
+                      inst=None) -> Interaction:
     nq = tables.n_quadrics
     is_tri = prim >= nq
     qid = jnp.clip(jnp.where(is_tri, 0, prim), 0, nq - 1)
@@ -527,10 +561,16 @@ def build_interaction(tables: GeometryTables, ray: Ray, hit, t, prim) -> Interac
     q_al = tables.q_arealight[qid]
 
     # --- triangle branch ---
+    # Instanced hits (inst >= 0): the stored rows are OBJECT-space; gather
+    # and transform the three vertices (and below, the vertex normals) to
+    # world so the rest of the branch is space-agnostic. The reference
+    # instead transforms the finished interaction (primitive.rs:100-113);
+    # doing it at the vertices keeps the watertight re-intersection exact.
     idx = tables.t_idx[tid]
     p0 = tables.tv_p[idx[..., 0]]
     p1 = tables.tv_p[idx[..., 1]]
     p2 = tables.tv_p[idx[..., 2]]
+    p0, p1, p2 = _inst_xform_pts(tables, inst, p0, p1, p2)
     th = triangle_intersect(ray.o, ray.d, jnp.where(hit, t * 1.0001 + 1e-4, ray.t_max),
                             p0, p1, p2)
     has_uv = tables.t_has_uv[tid]
@@ -546,22 +586,33 @@ def build_interaction(tables: GeometryTables, ray: Ray, hit, t, prim) -> Interac
     t_dpdu, t_dpdv = triangle_partial_derivs(p0, p1, p2, uv0, uv1, uv2)
     t_ng = normalize(cross(p0 - p2, p1 - p2))
     t_rev = tables.t_reverse[tid]
+    if tables.has_instances and inst is not None:
+        # a handedness-swapping instance transform flips orientation
+        # (primitive.rs via transform.swaps_handedness)
+        t_rev = t_rev ^ ((inst >= 0)
+                         & tables.inst_flip[jnp.maximum(inst, 0)])
     t_ng = jnp.where(t_rev[..., None], -t_ng, t_ng)
     # shading normal from vertex normals
     has_n = tables.t_has_n[tid]
-    n_interp = normalize(th.b0[..., None] * tables.tv_n[idx[..., 0]]
-                         + th.b1[..., None] * tables.tv_n[idx[..., 1]]
-                         + th.b2[..., None] * tables.tv_n[idx[..., 2]])
+    nv0 = tables.tv_n[idx[..., 0]]
+    nv1 = tables.tv_n[idx[..., 1]]
+    nv2 = tables.tv_n[idx[..., 2]]
+    if tables.has_instances and inst is not None:
+        iw2o = tables.inst_w2o[jnp.maximum(inst, 0)]
+        use_i = (inst >= 0)[..., None]
+        nv0 = jnp.where(use_i, xform_normal(iw2o, nv0), nv0)
+        nv1 = jnp.where(use_i, xform_normal(iw2o, nv1), nv1)
+        nv2 = jnp.where(use_i, xform_normal(iw2o, nv2), nv2)
+    n_interp = normalize(th.b0[..., None] * nv0
+                         + th.b1[..., None] * nv1
+                         + th.b2[..., None] * nv2)
     n_interp = jnp.where(t_rev[..., None], -n_interp, n_interp)
     t_ns = jnp.where(has_n[..., None], n_interp, t_ng)
     # keep geometric normal on the same side as shading normal (mesh.rs)
     t_ng = jnp.where(has_n[..., None], face_forward(t_ng, t_ns), t_ng)
     # shading-normal derivatives from vertex normals (mesh.rs dndu/dndv)
     from ..ops.triangle import triangle_normal_derivs
-    n0 = tables.tv_n[idx[..., 0]]
-    n1 = tables.tv_n[idx[..., 1]]
-    n2v = tables.tv_n[idx[..., 2]]
-    t_dndu, t_dndv = triangle_normal_derivs(n0, n1, n2v, uv0, uv1, uv2)
+    t_dndu, t_dndv = triangle_normal_derivs(nv0, nv1, nv2, uv0, uv1, uv2)
     t_dndu = jnp.where((has_n & ~t_rev)[..., None], t_dndu,
                        jnp.where((has_n & t_rev)[..., None], -t_dndu, 0.0))
     t_dndv = jnp.where((has_n & ~t_rev)[..., None], t_dndv,
