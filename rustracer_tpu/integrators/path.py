@@ -73,7 +73,15 @@ class PathIntegrator:
         wavefront model (every lane executes every test): per bounce one
         closest hit; per NEE one shadow probe (reference counters
         scene.rs:9-20). The merged-MIS formulation has no separate
-        BSDF-side closest hit."""
+        BSDF-side closest hit.
+
+        NOTE: unlike the reference, which counts tests actually executed,
+        these are UPPER BOUNDS — lanes that die early (miss / Russian
+        roulette) still count every bounce's test because the wavefront
+        kernel dispatches them all (dead lanes are masked inside the
+        traversal, not skipped at this accounting level). The printed
+        "Intersections/..." stats are therefore dispatch counts of the
+        wavefront model, not observed per-ray work."""
         d = self.max_depth
         return {"regular": d, "shadow": d - 1}
 
