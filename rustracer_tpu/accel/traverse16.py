@@ -39,8 +39,12 @@ from ..core.math import INFINITY
 from ..ops.triangle import triangle_intersect_c
 from .wide import TAG_INST
 
-MAJORITY_ITERS = 12   # pass-1 fixed trip count (~p60 of rows/ray; swept on TPU)
-TAIL_FRACTION = 8     # pass-2 compacted width = B / TAIL_FRACTION (swept)
+# Swept on v5e with tools/sweep_traverse.py (327k-tri mesh, 256k camera rays):
+# majority=4/tail=1/8 gives 2.04 Mray/s vs 1.59 at the old 12/8 — rows/ray is
+# p50 ~2, so a short pass-1 + early compaction wastes fewer full-width
+# gathers on finished lanes.
+MAJORITY_ITERS = 4    # pass-1 fixed trip count
+TAIL_FRACTION = 8     # pass-2 compacted width = B / TAIL_FRACTION
 FULL_MASK = (1 << 16) - 1
 
 

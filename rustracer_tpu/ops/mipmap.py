@@ -118,12 +118,17 @@ def lookup_trilinear(pyramid, st, width, wrap=WRAP_REPEAT):
 
 
 def lookup_ewa(pyramid, st, dst0, dst1, max_anisotropy=8.0, wrap=WRAP_REPEAT,
-               n_taps=4):
+               n_taps=8):
     """Anisotropic lookup approximating EWA (mipmap.rs lookup_diff):
     pick the level from the MINOR axis (sharper than trilinear), then take
-    `n_taps` trilinear taps spread along the MAJOR axis — the classic
-    fixed-cost anisotropic filtering used where variable-extent EWA loops
-    are impractical.
+    `n_taps` trilinear taps spread along the MAJOR axis, each weighted by the
+    reference's Gaussian ellipse kernel `exp(-2 r^2) - exp(-2)` evaluated at
+    its position on the major axis (mipmap.rs ewa() weight table). This is
+    the variable-extent EWA loop collapsed to a fixed, SPMD-friendly tap
+    count: the minor-axis extent is handled by the per-tap trilinear
+    footprint, the major-axis extent and kernel shape by the weighted taps.
+    Anisotropy clamping matches the reference: the minor axis is scaled up so
+    major/minor <= max_anisotropy (mipmap.rs lookup_diff ellipse clamp).
     """
     len0 = jnp.sqrt(jnp.maximum(jnp.sum(dst0 * dst0, -1), 1e-24))
     len1 = jnp.sqrt(jnp.maximum(jnp.sum(dst1 * dst1, -1), 1e-24))
@@ -131,10 +136,15 @@ def lookup_ewa(pyramid, st, dst0, dst1, max_anisotropy=8.0, wrap=WRAP_REPEAT,
     major_len = jnp.where(major_is_0, len0, len1)
     minor_len = jnp.where(major_is_0, len1, len0)
     major = jnp.where(major_is_0[..., None], dst0, dst1)
-    # clamp anisotropy
+    # clamp anisotropy (scale the minor axis up, as the reference does)
     minor_len = jnp.maximum(minor_len, major_len / max_anisotropy)
     out = jnp.zeros(st.shape[:-1] + (pyramid[0].shape[-1],), pyramid[0].dtype)
+    wsum = 0.0
     for i in range(n_taps):
-        a = (i + 0.5) / n_taps - 0.5
-        out = out + lookup_trilinear(pyramid, st + a * major, minor_len, wrap)
-    return out / n_taps
+        a = (i + 0.5) / n_taps - 0.5          # position in (-0.5, 0.5)
+        r2 = (2.0 * a) ** 2                   # ellipse radius^2 in (0, 1)
+        w = float(np.exp(-2.0 * r2) - np.exp(-2.0))
+        out = out + w * lookup_trilinear(pyramid, st + a * major, minor_len,
+                                         wrap)
+        wsum += w
+    return out / wsum

@@ -1,9 +1,11 @@
 """Batched watertight ray-triangle intersection and triangle sampling.
 
 Reference: rustracer-core/src/shapes/mesh.rs:214-260 (the PBRT watertight
-test: translate/permute/shear + edge functions). The f64 fallback at exactly-
-zero edge functions is omitted — on TPU we accept the (measure-zero) edge
-cases; robust ray offsetting handles self-intersection.
+test: translate/permute/shear + edge functions). The reference's f64 fallback
+at exactly-zero edge functions (mesh.rs:236-244) is reproduced in pure f32 via
+error-free Dekker two-products (TPUs have no fast f64): where an edge function
+rounds to exactly 0, its sign is re-resolved from the exactly-computed
+residual, which is at least as accurate as the f64 recompute.
 
 All functions broadcast: rays (..., 3) against triangles (..., 3) vertex
 arrays; callers arrange broadcasting, e.g. (B, 1, 3) rays x (1, T, 3) tris.
@@ -35,6 +37,35 @@ def _unpack(v):
     keeps the VPU dense (measured ~13x on the watertight test).
     """
     return v[..., 0], v[..., 1], v[..., 2]
+
+
+def _two_prod(a, b):
+    """Error-free f32 product via Dekker/Veltkamp splitting: returns (p, err)
+    with a*b == p + err exactly (round-to-nearest, no overflow). The splitter
+    is 2^ceil(24/2) + 1 for the 24-bit f32 mantissa."""
+    split = jnp.float32(4097.0)
+    ca = a * split
+    a_hi = ca - (ca - a)
+    a_lo = a - a_hi
+    cb = b * split
+    b_hi = cb - (cb - b)
+    b_lo = b - b_hi
+    p = a * b
+    err = ((a_hi * b_hi - p) + a_hi * b_lo + a_lo * b_hi) + a_lo * b_lo
+    return p, err
+
+
+def _edge_fn(ax, ay, bx, by):
+    """Edge function ax*by - ay*bx with the mesh.rs:236-244 zero fallback:
+    where the f32 result rounds to exactly 0, the sign is recovered from the
+    error-free residual (the TPU equivalent of the reference's f64 recompute;
+    the residual sum is a faithful rounding of the exact value)."""
+    p1, e1 = _two_prod(ax, by)
+    p2, e2 = _two_prod(ay, bx)
+    d = p1 - p2
+    # p1 - p2 is exact when d == 0 (Sterbenz), so the residual alone decides.
+    exact = (e1 - e2)
+    return jnp.where(d == 0.0, exact, d)
 
 
 def triangle_intersect(o, d, t_max, p0, p1, p2):
@@ -73,9 +104,9 @@ def triangle_intersect_c(oc, dc, t_max, p0c, p1c, p2c):
     x1, y1, z1 = shear(p1c)
     x2, y2, z2 = shear(p2c)
 
-    e0 = x1 * y2 - y1 * x2
-    e1 = x2 * y0 - y2 * x0
-    e2 = x0 * y1 - y0 * x1
+    e0 = _edge_fn(x1, y1, x2, y2)
+    e1 = _edge_fn(x2, y2, x0, y0)
+    e2 = _edge_fn(x0, y0, x1, y1)
 
     same_sign = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)) | \
                 ((e0 <= 0) & (e1 <= 0) & (e2 <= 0))

@@ -2,8 +2,14 @@
 
 scenes/textures/sky.exr — a small procedural HDR sky (gradient + sun disc)
 written with the repo's own EXR encoder (render/imageio.py), read back by
-the infinite-area-light path in scenes/envmap-dof.pbrt. Regenerate with
-`python tools/gen_assets.py`; the output is bit-stable (no RNG).
+the infinite-area-light path in scenes/envmap-dof.pbrt.
+
+scenes/textures/grid.png — a UV-test grid (colored quadrants + fine lines)
+written with the repo's own PNG encoder, read back by the imagemap texture
+in scenes/testball-textured.pbrt; the fine lines under a grazing camera
+exercise the anisotropic EWA filter (ops/mipmap.py lookup_ewa).
+
+Regenerate with `python tools/gen_assets.py`; outputs are bit-stable (no RNG).
 """
 import os
 import sys
@@ -40,6 +46,19 @@ def sky_image(w=64, h=32):
     return (sky + ground + sun).astype(np.float32)
 
 
+def grid_image(n=128):
+    """sRGB UV-test grid: 4 colored quadrant tints + dark grid lines every 16
+    texels (thin features that alias hard without anisotropic filtering)."""
+    y, x = np.mgrid[0:n, 0:n]
+    u, v = x / n, y / n
+    quad = (u >= 0.5).astype(np.float32) + 2 * (v >= 0.5).astype(np.float32)
+    tints = np.array([[0.85, 0.45, 0.35], [0.4, 0.7, 0.35],
+                      [0.35, 0.5, 0.85], [0.8, 0.75, 0.4]], np.float32)
+    img = tints[quad.astype(np.int32)]
+    line = ((x % 16 < 2) | (y % 16 < 2))[..., None]
+    return np.where(line, np.float32(0.08), img).astype(np.float32)
+
+
 def main():
     from rustracer_tpu.render.imageio import write_image
     outdir = os.path.join(REPO, "scenes", "textures")
@@ -48,6 +67,10 @@ def main():
     path = os.path.join(outdir, "sky.exr")
     write_image(path, img)
     print(f"{path}: {img.shape} mean={img.mean():.3f} max={img.max():.1f}")
+    img = grid_image()
+    path = os.path.join(outdir, "grid.png")
+    write_image(path, img)
+    print(f"{path}: {img.shape} mean={img.mean():.3f}")
 
 
 if __name__ == "__main__":
