@@ -375,6 +375,10 @@ def build_bundle(api) -> SceneBundle:
                     "(reference api.rs:205-215 supports only 02sequence)", sname)
         sampler = SamplerConfig(kind="02sequence",
                                 spp=sp.find_one_int("pixelsamples", 16))
+    if api.opts.get("quick_render"):
+        # PbrtOptions.quick_render (reference lib.rs:97-101, declared but
+        # unconsumed there; classic pbrt --quick semantics): spp / 4
+        sampler = dataclasses.replace(sampler, spp=max(1, sampler.spp // 4))
 
     ip = ro.integrator_params
     iname = ro.integrator_name

@@ -25,6 +25,9 @@ def main(argv=None):
     p.add_argument("-v", "--verbose", action="store_true")
     p.add_argument("--cpu", action="store_true", help="force CPU jax backend")
     p.add_argument("--spp", type=int, default=None, help="override samples/pixel")
+    p.add_argument("--quick", action="store_true",
+                   help="quick render: spp/4 (PbrtOptions.quick_render, "
+                        "reference lib.rs:97-101)")
     p.add_argument("--progress", action="store_true", default=True)
     p.add_argument("--checkpoint", default=None, metavar="PATH",
                    help="film checkpoint file: resume if present, snapshot "
@@ -55,7 +58,7 @@ def main(argv=None):
     init_stats()
 
     t0 = time.time()
-    api = parse_scene(args.scene)
+    api = parse_scene(args.scene, options={"quick_render": args.quick})
     bundle = api.scene
     if bundle is None:
         print("scene did not call WorldEnd; nothing to render", file=sys.stderr)

@@ -90,7 +90,8 @@ class TestMaterialTestballs:
                                       "testball-roughglass",
                                       "testball-roughmetal",
                                       "testball-substrate",
-                                      "testball-disney"])
+                                      "testball-disney",
+                                      "testball-textured"])
     def test_matches_golden(self, name):
         assert_matches_golden(name)
 

@@ -271,3 +271,18 @@ WorldEnd
     def test_unknown_directive_raises(self):
         with pytest.raises(ParseError):
             parse_scene_string("Bogus 1 2 3")
+
+    def test_quick_render_quarters_spp(self):
+        """PbrtOptions.quick_render (reference lib.rs:97-101): spp / 4."""
+        scene = """
+Film "image" "integer xresolution" [16] "integer yresolution" [16]
+Sampler "02sequence" "integer pixelsamples" [16]
+Camera "perspective"
+WorldBegin
+  Shape "sphere"
+WorldEnd
+"""
+        api = parse_scene_string(scene, options={"quick_render": True})
+        assert api.scene.sampler.spp == 4
+        api = parse_scene_string(scene)
+        assert api.scene.sampler.spp == 16

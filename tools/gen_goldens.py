@@ -33,6 +33,7 @@ GOLDEN_SCENES = [
     "testball-roughmetal",
     "testball-substrate",
     "testball-disney",
+    "testball-textured",
     "veach-mis",
     "envmap-dof",
 ]
