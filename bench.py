@@ -85,6 +85,14 @@ def build_dragon():
     from rustracer_tpu.integrators.path import PathIntegrator
 
     mv, mn, mf = bumpy_sphere(subdivisions=7, radius=1.0)  # 327,680 tris
+    # roundtrip through the PLY exporter/loader so the loader is exercised
+    # at benchmark scale (the real dragon/ganesha PLYs are not fetchable)
+    from rustracer_tpu.utils.plyio import read_ply, write_ply
+    ply_path = "/tmp/bench_dragon.ply"
+    write_ply(ply_path, mv, mf, n=mn)
+    t0 = time.perf_counter()
+    mv, mn, _, mf = read_ply(ply_path)
+    log(f"PLY load: {mf.shape[0]} tris in {time.perf_counter()-t0:.2f}s")
     n_mesh = mf.shape[0]
 
     # ground quad + light quad (2 tris each), appended after the mesh

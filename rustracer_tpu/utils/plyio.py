@@ -61,6 +61,7 @@ def read_ply(path: str) -> Tuple[np.ndarray, Optional[np.ndarray],
         endian = {"binary_little_endian": "<", "binary_big_endian": ">"}.get(fmt)
         verts = {}
         faces = []
+        tri_blocks = []     # pre-triangulated (K, 3) blocks (fast path)
         for name, count, props in elements:
             if fmt == "ascii":
                 rows = []
@@ -83,6 +84,39 @@ def read_ply(path: str) -> Tuple[np.ndarray, Optional[np.ndarray],
                     if name == "vertex":
                         for p in props:
                             verts[p[0]] = data[p[0]].astype(np.float32)
+                elif (name == "face" and len(props) == 1 and props[0][2]
+                      and count > 0):
+                    # fast path: single list property, uniform count per row
+                    # (every real mesh). Peek the first row's count, bulk-
+                    # parse at fixed stride, verify; else rewind to the
+                    # row-loop fallback.
+                    pname, _, _, idx_t, cnt_t = props[0]
+                    cdt = np.dtype(endian + idx_t)
+                    vdt = np.dtype(endian + cnt_t)
+                    pos = f.tell()
+                    nper = int(np.frombuffer(f.read(cdt.itemsize), cdt)[0])
+                    f.seek(pos)
+                    stride = cdt.itemsize + nper * vdt.itemsize
+                    buf = f.read(stride * count)
+                    rdt = np.dtype([("n", endian + idx_t),
+                                    ("v", endian + cnt_t, (nper,))])
+                    data = np.frombuffer(buf, rdt, count)
+                    if (data["n"] == nper).all():
+                        vals = data["v"]
+                        if nper == 3:
+                            tri_blocks.append(np.asarray(vals, np.int32))
+                        else:
+                            for row in vals:
+                                faces.append(list(row))
+                    else:
+                        # ragged counts: re-read row by row
+                        f.seek(pos)
+                        for _ in range(count):
+                            n = int(np.frombuffer(f.read(cdt.itemsize),
+                                                  cdt)[0])
+                            vals = np.frombuffer(f.read(vdt.itemsize * n),
+                                                 vdt)
+                            faces.append(list(vals))
                 else:
                     # list properties (faces): per-row read
                     for _ in range(count):
@@ -118,4 +152,50 @@ def read_ply(path: str) -> Tuple[np.ndarray, Optional[np.ndarray],
     for face in faces:
         for k in range(1, len(face) - 1):   # fan-triangulate
             idx.append((face[0], face[k], face[k + 1]))
-    return p, n, uv, np.asarray(idx, np.int32).reshape(-1, 3)
+    idx = np.asarray(idx, np.int32).reshape(-1, 3)
+    if tri_blocks:
+        idx = np.concatenate([idx] + tri_blocks) if len(idx) else \
+            np.concatenate(tri_blocks)
+    return p, n, uv, idx
+
+
+def write_ply(path: str, p: np.ndarray, idx: np.ndarray,
+              n: Optional[np.ndarray] = None,
+              uv: Optional[np.ndarray] = None,
+              binary: bool = True) -> None:
+    """Write a triangle mesh as PLY (binary little-endian or ascii).
+
+    Exporter counterpart to read_ply (the reference only reads,
+    plymesh.rs:18-242); used by tests and by bench.py to exercise the
+    loader at benchmark scale."""
+    p = np.asarray(p, np.float32)
+    idx = np.asarray(idx, np.int32).reshape(-1, 3)
+    cols = [("x", p[:, 0]), ("y", p[:, 1]), ("z", p[:, 2])]
+    if n is not None:
+        n = np.asarray(n, np.float32)
+        cols += [("nx", n[:, 0]), ("ny", n[:, 1]), ("nz", n[:, 2])]
+    if uv is not None:
+        uv = np.asarray(uv, np.float32)
+        cols += [("u", uv[:, 0]), ("v", uv[:, 1])]
+    fmt = "binary_little_endian" if binary else "ascii"
+    header = ["ply", f"format {fmt} 1.0",
+              f"element vertex {p.shape[0]}"]
+    header += [f"property float {name}" for name, _ in cols]
+    header += [f"element face {idx.shape[0]}",
+               "property list uchar int vertex_indices", "end_header"]
+    with open(path, "wb") as f:
+        f.write(("\n".join(header) + "\n").encode("ascii"))
+        vdata = np.stack([c for _, c in cols], -1).astype("<f4")
+        fdata = np.empty((idx.shape[0],),
+                         np.dtype([("n", "u1"), ("v", "<i4", (3,))]))
+        fdata["n"] = 3
+        fdata["v"] = idx
+        if binary:
+            f.write(vdata.tobytes())
+            f.write(fdata.tobytes())
+        else:
+            for row in vdata:
+                f.write((" ".join(repr(float(x)) for x in row) + "\n")
+                        .encode("ascii"))
+            for tri in idx:
+                f.write(f"3 {tri[0]} {tri[1]} {tri[2]}\n".encode("ascii"))
