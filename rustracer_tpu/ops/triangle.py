@@ -64,7 +64,10 @@ def _edge_fn(ax, ay, bx, by):
     p2, e2 = _two_prod(ay, bx)
     d = p1 - p2
     # p1 - p2 is exact when d == 0 (Sterbenz), so the residual alone decides.
+    # Dekker splitting overflows (a*4097 -> inf, err = nan) for coordinates
+    # above ~2^103; keep the plain-f32 zero there instead of propagating nan.
     exact = (e1 - e2)
+    exact = jnp.where(jnp.isfinite(exact), exact, jnp.float32(0.0))
     return jnp.where(d == 0.0, exact, d)
 
 

@@ -98,11 +98,23 @@ def read_ply(path: str) -> Tuple[np.ndarray, Optional[np.ndarray],
                     f.seek(pos)
                     stride = cdt.itemsize + nper * vdt.itemsize
                     buf = f.read(stride * count)
-                    rdt = np.dtype([("n", endian + idx_t),
-                                    ("v", endian + cnt_t, (nper,))])
-                    data = np.frombuffer(buf, rdt, count)
-                    if (data["n"] == nper).all():
-                        vals = data["v"]
+                    # mixed-size rows make the bulk read come up short (e.g.
+                    # quad-first then tris) or let index bytes land in the
+                    # count slot; accept the fast path only when the length
+                    # matches, every count agrees, AND all indices are valid
+                    vals = None
+                    if len(buf) == stride * count:
+                        rdt = np.dtype([("n", endian + idx_t),
+                                        ("v", endian + cnt_t, (nper,))])
+                        data = np.frombuffer(buf, rdt, count)
+                        nv = verts["x"].shape[0] if "x" in verts else None
+                        if (data["n"] == nper).all():
+                            v = data["v"]
+                            if nv is None or (
+                                    (v.min(initial=0) >= 0)
+                                    and (v.max(initial=-1) < nv)):
+                                vals = v
+                    if vals is not None:
                         if nper == 3:
                             tri_blocks.append(np.asarray(vals, np.int32))
                         else:
