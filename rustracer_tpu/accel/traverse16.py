@@ -47,6 +47,19 @@ MAJORITY_ITERS = 4    # pass-1 fixed trip count
 TAIL_FRACTION = 8     # pass-2 compacted width = B / TAIL_FRACTION
 FULL_MASK = (1 << 16) - 1
 
+# Ray-regeneration driver (large wavefronts): a fixed active window of A
+# lanes walks the tree while the rest of the wavefront waits in a backlog;
+# every REGEN_STEPS steps, finished lanes retire their result (scatter by
+# ray id) and load the next backlog ray. Paid rows/ray approaches the
+# USEFUL mean (~5 on dragon-class meshes) instead of the ~20+ the
+# majority+drain scheme pays, and v5e's dependent-gather rate is ~25%
+# HIGHER at 2^14..2^17 lanes than at 2^18 (110-117 vs 88 M rows/s,
+# tools/bench_gather_pallas.py methodology with the 27.5 ms axon dispatch
+# floor subtracted). Swept on chip: see docs/PERF.md.
+REGEN_MIN_B = 1 << 16    # use regeneration for wavefronts at least this wide
+REGEN_ACTIVE = 1 << 14   # active-window lanes (A)
+REGEN_STEPS = 4          # traversal steps between retire/refill passes
+
 
 def _bitcast_i32(x):
     return jax.lax.bitcast_convert_type(x, jnp.int32)
@@ -223,8 +236,112 @@ def _make_body(tables, any_hit: bool, D: int, instanced: bool = False):
     return body
 
 
+def _traverse16_regen(tables, ray, any_hit: bool):
+    """Ray-regeneration driver: active window + backlog refill.
+
+    Results are bit-identical to the plain driver — each ray's walk is
+    deterministic and independent of lane scheduling; only the order in
+    which rays occupy lanes changes. Replaces the reference's per-thread
+    tile loop (rustracer-core/src/renderer.rs:68-131) as the utilization
+    mechanism: instead of threads pulling tiles from a queue, lanes pull
+    rays from the wavefront backlog."""
+    B = ray.t_max.shape[0]
+    A = min(REGEN_ACTIVE, B // 4)
+    D = tables.bvh16_depth_pad.shape[0]
+    instanced = tables.has_instances
+    body = _make_body(tables, any_hit, D, instanced)
+    roots = tables.bvh16_roots
+
+    box_, boy_, boz_ = ray.o[..., 0], ray.o[..., 1], ray.o[..., 2]
+    bdx, bdy, bdz = ray.d[..., 0], ray.d[..., 1], ray.d[..., 2]
+    bt = ray.t_max
+    zero_A = jnp.zeros((A,), jnp.int32)
+
+    def load(q):
+        """Fresh per-lane state for backlog rays q ((A,) int32, clipped)."""
+        j = jnp.clip(q, 0, B - 1)
+        ox, oy, oz = box_[j], boy_[j], boz_[j]
+        dx, dy, dz = bdx[j], bdy[j], bdz[j]
+        rayc = (ox, oy, oz, dx, dy, dz,
+                _inv_dir(dx), _inv_dir(dy), _inv_dir(dz))
+        octant = ((dx < 0).astype(jnp.int32)
+                  | ((dy < 0).astype(jnp.int32) << 1)
+                  | ((dz < 0).astype(jnp.int32) << 2))
+        t_max = bt[j]
+        st = (roots[octant],
+              jnp.full((A,), FULL_MASK, jnp.int32),
+              zero_A,
+              t_max,
+              jnp.full((A,), -1, jnp.int32),
+              t_max <= 0.0,
+              tuple(zero_A for _ in range(D)),
+              tuple(zero_A for _ in range(D)),
+              rayc)
+        if instanced:
+            st = st + (rayc, jnp.full((A,), -1, jnp.int32), zero_A,
+                       jnp.full((A,), -1, jnp.int32))
+        return st
+
+    def merge(take, new, old):
+        return jax.tree.map(
+            lambda n, o: jnp.where(take, n, o) if o.ndim == 1
+            else jnp.where(take[:, None], n, o), new, old)
+
+    def retire(s, rid, out_t, out_prim, out_inst):
+        t_best, prim, done = s[3], s[4], s[5]
+        sel = done & (rid >= 0)
+        tgt = jnp.where(sel, rid, B)          # B = out of bounds -> dropped
+        out_t = out_t.at[tgt].set(
+            jnp.where(prim >= 0, t_best, INFINITY), mode="drop")
+        out_prim = out_prim.at[tgt].set(prim, mode="drop")
+        if instanced:
+            inst = jnp.where(prim >= 0, s[12], -1)
+            out_inst = out_inst.at[tgt].set(inst, mode="drop")
+        return out_t, out_prim, out_inst
+
+    def cond(carry):
+        s, rid, qhead, *_ = carry
+        return (qhead < B) | jnp.any(~s[5])
+
+    def outer(carry):
+        s, rid, qhead, out_t, out_prim, out_inst = carry
+        s = jax.lax.fori_loop(0, REGEN_STEPS, lambda i, st: body(st), s)
+        done = s[5]
+        out_t, out_prim, out_inst = retire(s, rid, out_t, out_prim, out_inst)
+        rank = jnp.cumsum(done.astype(jnp.int32)) - 1
+        qnew = qhead + rank
+        take = done & (qnew < B)
+        s = merge(take, load(qnew), s)
+        rid = jnp.where(take, qnew, jnp.where(done, -1, rid))
+        qhead = qhead + jnp.sum(take.astype(jnp.int32))
+        return (s, rid, qhead, out_t, out_prim, out_inst)
+
+    init = (load(jnp.arange(A, dtype=jnp.int32)),
+            jnp.arange(A, dtype=jnp.int32),
+            jnp.int32(A),
+            jnp.full((B,), INFINITY),
+            jnp.full((B,), -1, jnp.int32),
+            jnp.full((B,), -1, jnp.int32))
+
+    def run(init):
+        s, rid, _, out_t, out_prim, out_inst = jax.lax.while_loop(
+            cond, outer, init)
+        out_t, out_prim, out_inst = retire(s, rid, out_t, out_prim, out_inst)
+        hit = out_prim >= 0
+        return (hit, jnp.where(hit, out_t, INFINITY),
+                jnp.maximum(out_prim, 0), jnp.where(hit, out_inst, -1))
+
+    def dead(init):
+        return (jnp.zeros((B,), bool), jnp.full((B,), INFINITY),
+                jnp.zeros((B,), jnp.int32), jnp.full((B,), -1, jnp.int32))
+
+    return jax.lax.cond(jnp.any(ray.t_max > 0.0), run, dead, init)
+
+
 def _traverse16(tables, ray, any_hit: bool):
     bs = ray.t_max.shape
+    if len(bs) == 1 and bs[0] >= REGEN_MIN_B:
+        return _traverse16_regen(tables, ray, any_hit)
     D = tables.bvh16_depth_pad.shape[0]
     instanced = tables.has_instances
     body = _make_body(tables, any_hit, D, instanced)

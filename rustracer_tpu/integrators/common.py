@@ -6,6 +6,7 @@ heuristic, VisibilityTester). All batched over lanes with validity masks.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..core.math import INFINITY, absdot, dot, length, normalize, offset_ray_origin
@@ -165,6 +166,127 @@ def specular_diff_ray(ray: Ray, si, wi, eta, transmit: bool) -> Ray:
                       rx_direction=rx_d, ry_direction=ry_d)
 
 
+class _OffsetDims:
+    """Dimension allocator with a TRACED base: inside the scanned
+    specular-tree loop each node derives unique sampler dimensions from a
+    per-node base carried on the stack (the stateless hash sampler accepts
+    traced dims)."""
+
+    def __init__(self, base1, base2):
+        self.base1, self.base2 = base1, base2
+        self.k1 = 0
+        self.k2 = 0
+
+    def next_1d(self):
+        d = self.base1 + self.k1
+        self.k1 += 1
+        return d
+
+    def next_2d(self):
+        d = self.base2 + self.k2
+        self.k2 += 1
+        return d
+
+
+def _trace_specular_stack(ctx, mat_set, ray, lanes, sampler, dims, max_depth,
+                          direct_fn, types):
+    """Stack-of-wavefronts specular tree: one traced node body + a DFS
+    while_loop instead of 2^depth statically-inlined wavefronts.
+
+    Replaces the static unroll for transmissive scenes at high maxdepth —
+    a glass-heavy scene at maxdepth 5 otherwise compiles 32 traversal
+    trees (the round-3 compile cliff). Runtime visits the same nodes but
+    SKIPS fully-dead subtrees (the unroll cannot), and compile time is one
+    node body. Stack entries carry (ray+differentials, throughput, live,
+    depth, sampler-dim bases); per-node dim bases are computed from static
+    per-node consumption x traced subtree size, so every tree node draws
+    unique, deterministic sampler dimensions exactly like the unrolled
+    form (different dim VALUES, same statistical contract).
+    Reference: integrator/mod.rs:49-142 recursive specular_reflection/
+    specular_transmission."""
+    from ..core.interaction import compute_differentials
+    lt = ctx.lights
+    bs = ray.t_max.shape
+    S = max_depth + 2
+
+    def node(ray_e, live, b1, b2):
+        si = scene_intersect(ctx.geom, ray_e)
+        si = compute_differentials(si, ray_e)
+        le_esc = L.infinite_le(lt, ray_e.d)
+        Lloc = jnp.where((live & ~si.valid)[..., None], le_esc, 0.0)
+        alive = live & si.valid & (si.material >= 0)
+        le = L.arealight_le(lt, si.arealight, si.n, si.wo)
+        Lloc = Lloc + jnp.where(alive[..., None], le, 0.0)
+        si_s, lobes = mat_set.shade(si, ctx)
+        lobes = lobes._replace(active=lobes.active & alive[..., None])
+        od = _OffsetDims(b1, b2)
+        Lloc = Lloc + jnp.where(alive[..., None],
+                                direct_fn(si_s, lobes, od), 0.0)
+        return Lloc, si_s, lobes, alive, od.k1, od.k2
+
+    stack0 = (
+        jax.tree.map(lambda a: jnp.zeros((S,) + a.shape, a.dtype), ray),
+        jnp.zeros((S,) + bs + (3,), jnp.float32),      # throughput
+        jnp.zeros((S,) + bs, bool),                    # live
+        jnp.zeros((S,), jnp.int32),                    # depth
+        jnp.zeros((S,), jnp.int32),                    # dim base (1d)
+        jnp.zeros((S,), jnp.int32),                    # dim base (2d)
+    )
+
+    def write(stack, sp, ray_e, wgt, live, depth, b1, b2):
+        sr, sw, sl, sd, s1, s2 = stack
+        upd = lambda A, v: jax.lax.dynamic_update_index_in_dim(A, v, sp, 0)
+        return (jax.tree.map(upd, sr, ray_e), upd(sw, wgt), upd(sl, live),
+                upd(sd, depth), upd(s1, b1), upd(s2, b2))
+
+    def read(stack, sp):
+        sr, sw, sl, sd, s1, s2 = stack
+        rd = lambda A: jax.lax.dynamic_index_in_dim(A, sp, 0, keepdims=False)
+        return (jax.tree.map(rd, sr), rd(sw), rd(sl), rd(sd), rd(s1), rd(s2))
+
+    def body(carry):
+        sp, stack, Lacc = carry
+        sp1 = sp - 1
+        ray_e, wgt, live, depth, b1, b2 = read(stack, sp1)
+        Lloc, si_s, lobes, alive, c1, c2 = node(ray_e, live, b1, b2)
+        Lacc = Lacc + wgt * Lloc
+        sp = sp1
+
+        depth_ok = depth + 1 < max_depth
+        rem = jnp.maximum(max_depth - depth - 1, 0)
+        sub_nodes = jnp.left_shift(jnp.int32(1), rem) - 1   # child subtree
+
+        wiA, wgtA, okA = B.specular_reflect_branch(lobes, si_s, si_s.wo,
+                                                   types)
+        liveA = alive & okA & jnp.any(wgtA > 0.0, axis=-1) & depth_ok
+        rA = specular_diff_ray(ray_e, si_s, wiA, lobes.eta, transmit=False)
+        rA = rA._replace(t_max=jnp.where(liveA, rA.t_max, 0.0))
+        doA = jnp.any(liveA)
+        stack = write(stack, sp, rA, wgt * wgtA, liveA, depth + 1,
+                      b1 + c1, b2 + c2)
+        sp = sp + doA.astype(jnp.int32)
+
+        wiB, wgtB, okB = B.specular_transmit_branch(lobes, si_s, si_s.wo,
+                                                    types)
+        liveB = alive & okB & jnp.any(wgtB > 0.0, axis=-1) & depth_ok
+        rB = specular_diff_ray(ray_e, si_s, wiB, lobes.eta, transmit=True)
+        rB = rB._replace(t_max=jnp.where(liveB, rB.t_max, 0.0))
+        doB = jnp.any(liveB)
+        stack = write(stack, sp, rB, wgt * wgtB, liveB, depth + 1,
+                      b1 + c1 + c1 * sub_nodes, b2 + c2 + c2 * sub_nodes)
+        sp = sp + doB.astype(jnp.int32)
+        return (sp, stack, Lacc)
+
+    live0 = ray.t_max > 0.0
+    stack0 = write(stack0, jnp.int32(0), ray,
+                   jnp.ones(bs + (3,), jnp.float32), live0,
+                   jnp.int32(0), jnp.int32(dims.d1), jnp.int32(dims.d2))
+    _, _, Lacc = jax.lax.while_loop(
+        lambda c: c[0] > 0, body,
+        (jnp.int32(1), stack0, jnp.zeros(bs + (3,), jnp.float32)))
+    return Lacc
+
+
 def trace_specular_tree(ctx, mat_set, ray, lanes, sampler, dims, max_depth,
                         direct_fn):
     """Shared Whitted/direct-lighting driver: emitted + direct lighting per
@@ -180,6 +302,12 @@ def trace_specular_tree(ctx, mat_set, ray, lanes, sampler, dims, max_depth,
     has_refl = any(t in types for t in (B.SPECULAR_REFL, B.FRESNEL_SPECULAR))
     has_trans = any(t in types for t in (B.SPECULAR_TRANS,
                                          B.FRESNEL_SPECULAR))
+    if has_refl and has_trans and max_depth >= 4:
+        # true 2^depth branching: bound compile time with the DFS stack
+        # driver (one traced node body); reflect-only chains stay unrolled
+        # (linear, cheap to compile, keeps dim allocation untouched)
+        return _trace_specular_stack(ctx, mat_set, ray, lanes, sampler, dims,
+                                     max_depth, direct_fn, types)
 
     def trace(ray, depth, live):
         bs = ray.t_max.shape

@@ -1,6 +1,7 @@
 """16-wide BVH (accel/wide.py + accel/traverse16.py): equivalence with
 brute force — the same property gate as the binary kernel (test_bvh.py),
 covering closest hit, any hit, t_max clipping, and tiny/degenerate trees."""
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -87,3 +88,56 @@ def test_scene_intersect_routes_through_wide():
     m = np.asarray(si_w.valid)
     np.testing.assert_allclose(np.asarray(si_w.t)[m],
                                np.asarray(si_b.t)[m], rtol=1e-5)
+
+
+class TestRegeneration:
+    """Ray-regeneration driver (traverse16._traverse16_regen): wavefronts at
+    or above REGEN_MIN_B route through the active-window/backlog driver and
+    must reproduce the plain driver's results exactly (each ray's walk is
+    deterministic and scheduling-independent)."""
+
+    def _big_rays(self, n, seed, dead_frac=0.0):
+        rng = np.random.default_rng(seed)
+        o = rng.uniform(-6, 6, (n, 3)).astype(np.float32)
+        d = rng.normal(0, 1, (n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        t_max = np.full(n, np.inf, np.float32)
+        if dead_frac:
+            t_max[rng.uniform(size=n) < dead_frac] = 0.0
+        return make_ray(jnp.asarray(o), jnp.asarray(d))._replace(
+            t_max=jnp.asarray(t_max))
+
+    def test_matches_plain_driver(self):
+        from rustracer_tpu.accel import traverse16 as t16
+        tris = random_soup(400, seed=21)
+        geom = wide_geom(tris)
+        n = t16.REGEN_MIN_B
+        rays = self._big_rays(n, seed=22, dead_frac=0.1)
+        h1, t1, id1 = bvh16_intersect_triangles(geom, rays)   # regen (n >= MIN_B)
+        h2, t2, id2 = t16._traverse16(
+            geom, jax.tree.map(lambda x: x[: n // 2], rays), any_hit=False)[:3]
+        ha, ta, ida = (np.asarray(h1)[: n // 2], np.asarray(t1)[: n // 2],
+                       np.asarray(id1)[: n // 2])
+        np.testing.assert_array_equal(ha, np.asarray(h2))
+        np.testing.assert_array_equal(ta, np.asarray(t2))
+        np.testing.assert_array_equal(ida, np.asarray(id2))
+
+    def test_any_hit_and_instancing(self):
+        from rustracer_tpu.accel import traverse16 as t16
+        from rustracer_tpu.accel.traverse16 import (
+            bvh16_intersect_triangles_inst)
+        from test_instancing import _instanced_setup
+        geom, _, _ = _instanced_setup(seed=24)
+        n = t16.REGEN_MIN_B
+        rays = self._big_rays(n, seed=23)
+        h1, t1, id1, i1 = bvh16_intersect_triangles_inst(geom, rays)
+        sub = jax.tree.map(lambda x: x[: n // 2], rays)
+        h2, t2, id2, i2 = t16._traverse16(geom, sub, any_hit=False)
+        m = n // 2
+        np.testing.assert_array_equal(np.asarray(h1)[:m], np.asarray(h2))
+        np.testing.assert_array_equal(np.asarray(t1)[:m], np.asarray(t2))
+        np.testing.assert_array_equal(np.asarray(id1)[:m], np.asarray(id2))
+        np.testing.assert_array_equal(np.asarray(i1)[:m], np.asarray(i2))
+        p1 = bvh16_intersect_p_triangles(geom, rays)
+        p2 = t16._traverse16(geom, sub, any_hit=True)[0]
+        np.testing.assert_array_equal(np.asarray(p1)[:m], np.asarray(p2))

@@ -213,6 +213,7 @@ class TestFourierTable:
 
 
 class TestFourierMaterialRender:
+    @pytest.mark.slow
     def test_matches_matte_render(self):
         """Cornell box with the lambertian fourier table ≈ matte render."""
         import sys

@@ -84,14 +84,19 @@ class TestCornellGolden:
 
 
 class TestMaterialTestballs:
-    @pytest.mark.parametrize("name", ["testball-matte", "testball-plastic",
-                                      "testball-metal", "testball-glass",
-                                      "testball-mirror",
-                                      "testball-roughglass",
-                                      "testball-roughmetal",
-                                      "testball-substrate",
-                                      "testball-disney",
-                                      "testball-textured"])
+    # matte + glass stay in the fast default selection; the rest are slow
+    # (each is a ~25-60 s end-to-end render on the 2-CPU box)
+    @pytest.mark.parametrize("name", [
+        "testball-matte",
+        pytest.param("testball-plastic", marks=pytest.mark.slow),
+        pytest.param("testball-metal", marks=pytest.mark.slow),
+        "testball-glass",
+        pytest.param("testball-mirror", marks=pytest.mark.slow),
+        pytest.param("testball-roughglass", marks=pytest.mark.slow),
+        pytest.param("testball-roughmetal", marks=pytest.mark.slow),
+        pytest.param("testball-substrate", marks=pytest.mark.slow),
+        pytest.param("testball-disney", marks=pytest.mark.slow),
+        pytest.param("testball-textured", marks=pytest.mark.slow)])
     def test_matches_golden(self, name):
         assert_matches_golden(name)
 
@@ -145,6 +150,7 @@ class TestEnvmapDof:
     """Infinite-light EXR env map + thin-lens DoF (BASELINE config 5
     feature pair) end-to-end through the parser."""
 
+    @pytest.mark.slow
     def test_matches_golden(self):
         assert_matches_golden("envmap-dof")
 

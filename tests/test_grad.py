@@ -116,6 +116,7 @@ class TestGradVsFiniteDifference:
             assert g[c] == pytest.approx(fd, rel=2e-2, abs=1e-5), \
                 f"channel {c}: grad {g[c]} vs FD {fd}"
 
+    @pytest.mark.slow
     def test_area_light_emission(self):
         """d loss / d L_emit: radiance is linear in emission, so FD is exact
         up to float noise. Reference capability: new (BASELINE.json bwd)."""
@@ -143,6 +144,7 @@ class TestGradVsFiniteDifference:
             l_emit=jnp.asarray(2.0 * emit0)))))
         assert l2 - l1 == pytest.approx(float((g * emit0).sum()), rel=1e-3)
 
+    @pytest.mark.slow
     def test_imagemap_texel(self):
         """d loss / d (mip level-0 texel) on an image-textured wall."""
         ctx, cam, sampler, integ = _setup(image_floor=True)
@@ -170,6 +172,7 @@ class TestGradVsFiniteDifference:
         fd = _fd(loss, ctx, set_v, float(pyr0[0][ti, tj, 0]), eps)
         assert g[ti, tj, 0] == pytest.approx(fd, rel=2e-2, abs=1e-6)
 
+    @pytest.mark.slow
     def test_grad_deterministic(self):
         """Detached stateless sampling ⇒ bitwise-identical gradients across
         evaluations (no hidden RNG state)."""

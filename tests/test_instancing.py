@@ -197,6 +197,7 @@ def _render(text):
     return np.asarray(api.scene.render()), api
 
 
+@pytest.mark.slow
 def test_parser_instancing_matches_explicit():
     """N ObjectInstances render identically to N explicit copies."""
     placements = ["Translate -1 0 0", "Translate 1 0.3 0.5",
@@ -220,6 +221,7 @@ def test_parser_instancing_matches_explicit():
     np.testing.assert_allclose(img_i, img_e, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_parser_instance_unknown_name_ignored():
     from rustracer_tpu.scene.api import parse_scene_string
     text = _SCENE_HEAD + 'ObjectInstance "nope"\n' + _QUAD_MESH + "WorldEnd\n"

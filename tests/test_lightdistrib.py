@@ -63,6 +63,7 @@ def test_sample_light_statistics_match_pmf():
                                rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_path_spatial_strategy_unbiased_vs_uniform():
     from rustracer_tpu.render.film import Film
     from rustracer_tpu.render.filters import Filter

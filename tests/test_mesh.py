@@ -66,6 +66,7 @@ def test_render_sharded_matches_single_device():
     np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_sharded_grads_match_single_device():
     """make_sharded_train_step's psum'd gradients == single-device
     value_and_grad of the identical loss (the §5.8 gradient-reduction

@@ -47,6 +47,7 @@ WorldEnd
         img_d = _render(scene_d)
         np.testing.assert_allclose(img_w, img_d, rtol=1e-5, atol=1e-6)
 
+    @pytest.mark.slow
     def test_glass_pane_transmits_deterministically(self):
         """Normal-incidence glass pane in front of an emissive wall: the
         center sees ~(1-F)^2 ≈ 0.92 of the wall radiance (two dielectric

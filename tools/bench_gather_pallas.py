@@ -24,16 +24,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def pallas_gather(table, idx, blk=512, nslot=8):
-    """out[i] = table[idx[i]] via per-row DMAs, `nslot` in flight."""
+    """out[i] = table[idx[i]] via per-row DMAs, `nslot` in flight.
+
+    idx arrives as per-block (blk,) SMEM slabs — prefetching the whole
+    index array through PrefetchScalarGridSpec overflows SMEM past ~1 MB
+    (the round-3 HTTP-500 compile failure at B=1M)."""
     B = idx.shape[0]
     R, W = table.shape
     assert B % blk == 0
 
-    def kernel(idx_ref, table_ref, out_ref, sems):
-        base = pl.program_id(0) * blk
+    C = blk // 8   # SMEM idx block is (1, 8, C): last-2 dims pass the
+                   # (÷8, ==array-dim) tiling constraint
 
+    def kernel(idx_ref, table_ref, out_ref, sems):
         def start(i):
-            row = idx_ref[base + i]
+            row = idx_ref[0, i // C, i % C]
             # 2-D (1, W) slices: Mosaic DMAs want tiled (sublane, lane) refs
             return pltpu.make_async_copy(
                 table_ref.at[pl.ds(row, 1), :], out_ref.at[pl.ds(i, 1), :],
@@ -54,29 +59,28 @@ def pallas_gather(table, idx, blk=512, nslot=8):
 
         jax.lax.fori_loop(0, blk, body, 0)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B // blk,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((blk, W), lambda i, idx_ref: (i, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((nslot,))],
-    )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, W), table.dtype),
-        grid_spec=grid_spec,
-    )(idx, table)
+        grid=(B // blk,),
+        in_specs=[pl.BlockSpec((1, 8, C), lambda i: (i, 0, 0),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((blk, W), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((nslot,))],
+    )(idx.reshape(B // blk, 8, C), table)
 
 
 def timed(f, *args, reps=5):
-    out = f(*args)
-    np.asarray(out)             # force real completion (axon: see PERF.md)
+    # device-side reduce + scalar transfer: np.asarray of the (B, 128)
+    # output would time the axon host tunnel (~512 MB), not the gather
+    red = jax.jit(lambda *a: jnp.sum(f(*a)))
+    np.asarray(red(*args))
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = f(*args)
-        np.asarray(out[0] if isinstance(out, tuple) else out)
+        np.asarray(red(*args))
         ts.append(time.perf_counter() - t0)
     return min(ts)
 
@@ -93,7 +97,11 @@ def main():
 
     xla = jax.jit(lambda t, i: t[i])
     dt = timed(xla, table, idx)
-    ref = np.asarray(xla(table, idx))
+    # correctness via a weighted checksum (full output would cross the
+    # axon host tunnel)
+    w = jnp.asarray(rs.rand(128), jnp.float32)
+    csum = jax.jit(lambda t, i, f=xla: jnp.sum(f(t, i) * w))
+    ref = float(csum(table, idx))
     print(f"xla-gather                : {dt*1e3:7.2f} ms  "
           f"{B/dt/1e6:7.1f} M rows/s")
 
@@ -101,7 +109,9 @@ def main():
         try:
             f = jax.jit(functools.partial(pallas_gather, nslot=nslot))
             dt = timed(f, table, idx)
-            ok = np.array_equal(np.asarray(f(table, idx)), ref)
+            got = float(jax.jit(
+                lambda t, i: jnp.sum(f(t, i) * w))(table, idx))
+            ok = abs(got - ref) <= 1e-6 * abs(ref)
             print(f"pallas-dma window={nslot:3d}    : {dt*1e3:7.2f} ms  "
                   f"{B/dt/1e6:7.1f} M rows/s  correct={ok}")
         except Exception as e:
