@@ -58,7 +58,8 @@ FULL_MASK = (1 << 16) - 1
 # floor subtracted). Swept on chip: see docs/PERF.md.
 REGEN_MIN_B = 1 << 16    # use regeneration for wavefronts at least this wide
 REGEN_ACTIVE = 1 << 14   # active-window lanes (A)
-REGEN_STEPS = 4          # traversal steps between retire/refill passes
+REGEN_STEPS = 4          # traversal steps between refill-trigger checks
+REGEN_REFILL_FRAC = 4    # refill when >= A/FRAC lanes are done (adaptive)
 
 
 def _bitcast_i32(x):
@@ -78,12 +79,17 @@ def _make_body(tables, any_hit: bool, D: int, instanced: bool = False):
     def body(s):
         if instanced:
             (row, vmask, sp, t_best, prim, done, stack_row, stack_mask,
-             rayc, worldc, inst_cur, inst_sp, inst_best) = s
+             rayc, worldc, inst_cur, inst_sp, inst_best, cnt) = s
         else:
             (row, vmask, sp, t_best, prim, done, stack_row, stack_mask,
-             rayc) = s
+             rayc, cnt) = s
         ox, oy, oz, dx, dy, dz, ix, iy, iz = rayc
         active = ~done
+        # observed-work counters (reference scene.rs:9-20 counts executed
+        # tests): rows actually gathered for live lanes + non-pad triangle
+        # tests — per-lane int32 adds, summed once at the end
+        cnt_rows, cnt_tri = cnt
+        cnt_rows = cnt_rows + active.astype(jnp.int32)
         rec = table[jnp.clip(row, 0, R - 1)]              # ONE row gather
         # Everything below runs on (k, B) shapes: B maps onto the 128-lane
         # axis at full utilization. Keeping the raw (B, 16)/(B, 8) slices
@@ -135,6 +141,8 @@ def _make_body(tables, any_hit: bool, D: int, instanced: bool = False):
             r1(t_best), (blk(0), blk(1), blk(2)),
             (blk(3), blk(4), blk(5)), (blk(6), blk(7), blk(8)))
         tri_ok = (is_leaf & active)[None, :] & (tid >= 0) & th.hit
+        cnt_tri = cnt_tri + jnp.where(
+            is_leaf & active, jnp.sum((tid >= 0).astype(jnp.int32), axis=0), 0)
         t_cand = jnp.where(tri_ok, th.t, INFINITY)
         # integer argmin, then where-chains on the INDEX: comparing floats
         # against a separately-computed min is unsound under XLA (FMA
@@ -213,7 +221,7 @@ def _make_body(tables, any_hit: bool, D: int, instanced: bool = False):
 
         if not instanced:
             return (row, vmask, sp, t_best, prim, done, stack_row,
-                    stack_mask, rayc)
+                    stack_mask, rayc, (cnt_rows, cnt_tri))
 
         # instance entry: jump into the BLAS with the object-space ray
         row = jnp.where(enter, blas_root, row)
@@ -231,7 +239,8 @@ def _make_body(tables, any_hit: bool, D: int, instanced: bool = False):
                                jnp.where(in_obj, rc, wc))
                      for no, rc, wc in zip(new_obj, rayc, worldc))
         return (row, vmask, sp, t_best, prim, done, stack_row, stack_mask,
-                rayc, worldc, inst_cur, inst_sp, inst_best)
+                rayc, worldc, inst_cur, inst_sp, inst_best,
+                (cnt_rows, cnt_tri))
 
     return body
 
@@ -280,7 +289,7 @@ def _traverse16_regen(tables, ray, any_hit: bool):
         if instanced:
             st = st + (rayc, jnp.full((A,), -1, jnp.int32), zero_A,
                        jnp.full((A,), -1, jnp.int32))
-        return st
+        return st + ((zero_A, zero_A),)           # observed-work counters
 
     def merge(take, new, old):
         return jax.tree.map(
@@ -303,42 +312,66 @@ def _traverse16_regen(tables, ray, any_hit: bool):
         s, rid, qhead, *_ = carry
         return (qhead < B) | jnp.any(~s[5])
 
-    def outer(carry):
-        s, rid, qhead, out_t, out_prim, out_inst = carry
-        s = jax.lax.fori_loop(0, REGEN_STEPS, lambda i, st: body(st), s)
+    def refill(carry):
+        s, rid, qhead, out_t, out_prim, out_inst, acc = carry
         done = s[5]
         out_t, out_prim, out_inst = retire(s, rid, out_t, out_prim, out_inst)
         rank = jnp.cumsum(done.astype(jnp.int32)) - 1
         qnew = qhead + rank
         take = done & (qnew < B)
+        # bank replaced lanes' observed-work counts (load() zeroes them)
+        cnt_rows, cnt_tri = s[-1]
+        acc = acc + jnp.stack([jnp.sum(jnp.where(take, cnt_rows, 0)),
+                               jnp.sum(jnp.where(take, cnt_tri, 0))])
         s = merge(take, load(qnew), s)
         rid = jnp.where(take, qnew, jnp.where(done, -1, rid))
         qhead = qhead + jnp.sum(take.astype(jnp.int32))
-        return (s, rid, qhead, out_t, out_prim, out_inst)
+        return (s, rid, qhead, out_t, out_prim, out_inst, acc)
+
+    def outer(carry):
+        s, rid, qhead, *rest = carry
+        s = jax.lax.fori_loop(0, REGEN_STEPS, lambda i, st: body(st), s)
+        # adaptive refill: the retire/refill pass costs ~a handful of steps,
+        # so run it only once a quarter-window of lanes can be replaced (or
+        # the queue is drained and retiring is all that's left)
+        n_done = jnp.sum(s[5].astype(jnp.int32))
+        trigger = (n_done * REGEN_REFILL_FRAC >= A) | (qhead >= B)
+        return jax.lax.cond(trigger, refill, lambda c: c,
+                            (s, rid, qhead, *rest))
 
     init = (load(jnp.arange(A, dtype=jnp.int32)),
             jnp.arange(A, dtype=jnp.int32),
             jnp.int32(A),
             jnp.full((B,), INFINITY),
             jnp.full((B,), -1, jnp.int32),
-            jnp.full((B,), -1, jnp.int32))
+            jnp.full((B,), -1, jnp.int32),
+            jnp.zeros(2, jnp.int32))
 
     def run(init):
-        s, rid, _, out_t, out_prim, out_inst = jax.lax.while_loop(
+        s, rid, _, out_t, out_prim, out_inst, acc = jax.lax.while_loop(
             cond, outer, init)
         out_t, out_prim, out_inst = retire(s, rid, out_t, out_prim, out_inst)
+        cnt_rows, cnt_tri = s[-1]
+        acc = acc + jnp.stack([jnp.sum(cnt_rows), jnp.sum(cnt_tri)])
         hit = out_prim >= 0
         return (hit, jnp.where(hit, out_t, INFINITY),
-                jnp.maximum(out_prim, 0), jnp.where(hit, out_inst, -1))
+                jnp.maximum(out_prim, 0), jnp.where(hit, out_inst, -1), acc)
 
     def dead(init):
         return (jnp.zeros((B,), bool), jnp.full((B,), INFINITY),
-                jnp.zeros((B,), jnp.int32), jnp.full((B,), -1, jnp.int32))
+                jnp.zeros((B,), jnp.int32), jnp.full((B,), -1, jnp.int32),
+                jnp.zeros(2, jnp.int32))
 
     return jax.lax.cond(jnp.any(ray.t_max > 0.0), run, dead, init)
 
 
 def _traverse16(tables, ray, any_hit: bool):
+    """→ (hit, t, prim, inst, counts) where counts = int32 [rows gathered,
+    triangle tests] of OBSERVED work (live lanes only). The counts are
+    traced values scoped to the caller — they are deliberately NOT pushed
+    onto the stats tape here because this function runs inside integrator
+    scan/while bodies (that would leak tracers); render-path observed
+    stats are counted at the integrator level (path.py _PathState.obs)."""
     bs = ray.t_max.shape
     if len(bs) == 1 and bs[0] >= REGEN_MIN_B:
         return _traverse16_regen(tables, ray, any_hit)
@@ -367,13 +400,16 @@ def _traverse16(tables, ray, any_hit: bool):
                        jnp.full(bs, -1, jnp.int32),   # inst_cur
                        zero_i,                        # inst_sp
                        jnp.full(bs, -1, jnp.int32))   # inst_best
+    init = init + ((zero_i, zero_i),)             # observed-work counters
 
     def finish(final):
         prim, t_best = final[4], final[3]
         hit = prim >= 0
         inst = final[12] if instanced else jnp.full(bs, -1, jnp.int32)
+        cnt_rows, cnt_tri = final[-1]
         return (hit, jnp.where(hit, t_best, INFINITY),
-                jnp.maximum(prim, 0), jnp.where(hit, inst, -1))
+                jnp.maximum(prim, 0), jnp.where(hit, inst, -1),
+                jnp.stack([jnp.sum(cnt_rows), jnp.sum(cnt_tri)]))
 
     def run(init):
         flat = len(bs) == 1 and bs[0] >= 4 * TAIL_FRACTION
@@ -401,23 +437,30 @@ def _traverse16(tables, ray, any_hit: bool):
     # must not pay even the majority pass
     def dead(init):
         return (jnp.zeros(bs, bool), jnp.full(bs, INFINITY),
-                jnp.zeros(bs, jnp.int32), jnp.full(bs, -1, jnp.int32))
+                jnp.zeros(bs, jnp.int32), jnp.full(bs, -1, jnp.int32),
+                jnp.zeros(2, jnp.int32))
 
     return jax.lax.cond(jnp.any(ray.t_max > 0.0), run, dead, init)
 
 
 def bvh16_intersect_triangles(tables, ray):
     """Closest hit over the wide BVH: (hit, t, tri_id)."""
-    hit, t, tid, _ = _traverse16(tables, ray, any_hit=False)
+    hit, t, tid, _, _ = _traverse16(tables, ray, any_hit=False)
     return hit, t, tid
 
 
 def bvh16_intersect_triangles_inst(tables, ray):
     """Closest hit with instancing: (hit, t, tri_id, instance_id).
     instance_id is -1 for static-geometry hits."""
-    return _traverse16(tables, ray, any_hit=False)
+    return _traverse16(tables, ray, any_hit=False)[:4]
 
 
 def bvh16_intersect_p_triangles(tables, ray):
-    hit, _, _, _ = _traverse16(tables, ray, any_hit=True)
+    hit = _traverse16(tables, ray, any_hit=True)[0]
     return hit
+
+
+def bvh16_intersect_counts(tables, ray, any_hit=False):
+    """Observed-work variant for tools and tests: (hit, t, tri_id,
+    instance_id, counts[rows_gathered, triangle_tests])."""
+    return _traverse16(tables, ray, any_hit=any_hit)

@@ -122,8 +122,12 @@ def estimate_direct_light_side(ctx, mat_set, si, lobes, lid, u_light,
     weight = jnp.where(ls.is_delta, 1.0,
                        power_heuristic(1.0, light_pdf, 1.0, scattering_pdf))
     pdf_safe = jnp.where(contrib_possible, jnp.maximum(light_pdf, 1e-12), 1.0)
-    return jnp.where(contrib_possible[..., None],
-                     f * li * (weight / pdf_safe)[..., None], zero)
+    ld = jnp.where(contrib_possible[..., None],
+                   f * li * (weight / pdf_safe)[..., None], zero)
+    # second value: shadow probes actually submitted (reference
+    # scene.rs:16-20 counts intersect_p calls; masked lanes trace a
+    # zero-length ray and are dead inside the traversal)
+    return ld, jnp.sum(contrib_possible.astype(jnp.int32))
 
 
 def specular_diff_ray(ray: Ray, si, wi, eta, transmit: bool) -> Ray:
@@ -245,11 +249,12 @@ def _trace_specular_stack(ctx, mat_set, ray, lanes, sampler, dims, max_depth,
         return (jax.tree.map(rd, sr), rd(sw), rd(sl), rd(sd), rd(s1), rd(s2))
 
     def body(carry):
-        sp, stack, Lacc = carry
+        sp, stack, Lacc, nexec = carry
         sp1 = sp - 1
         ray_e, wgt, live, depth, b1, b2 = read(stack, sp1)
         Lloc, si_s, lobes, alive, c1, c2 = node(ray_e, live, b1, b2)
         Lacc = Lacc + wgt * Lloc
+        nexec = nexec + 1
         sp = sp1
 
         depth_ok = depth + 1 < max_depth
@@ -275,15 +280,27 @@ def _trace_specular_stack(ctx, mat_set, ray, lanes, sampler, dims, max_depth,
         stack = write(stack, sp, rB, wgt * wgtB, liveB, depth + 1,
                       b1 + c1 + c1 * sub_nodes, b2 + c2 + c2 * sub_nodes)
         sp = sp + doB.astype(jnp.int32)
-        return (sp, stack, Lacc)
+        return (sp, stack, Lacc, nexec)
 
+    from ..utils import stats as S
     live0 = ray.t_max > 0.0
     stack0 = write(stack0, jnp.int32(0), ray,
                    jnp.ones(bs + (3,), jnp.float32), live0,
                    jnp.int32(0), jnp.int32(dims.d1), jnp.int32(dims.d2))
-    _, _, Lacc = jax.lax.while_loop(
+    pre_tape = S.device_tape_drain()
+    _, _, Lacc, nexec = jax.lax.while_loop(
         lambda c: c[0] > 0, body,
-        (jnp.int32(1), stack0, jnp.zeros(bs + (3,), jnp.float32)))
+        (jnp.int32(1), stack0, jnp.zeros(bs + (3,), jnp.float32),
+         jnp.int32(0)))
+    # tape scope: the node body traced once; its static python counts
+    # (texture lookups etc.) are scaled by the executed node count
+    body_tape = S.device_tape_drain()
+    if pre_tape is not None:
+        for k, v in pre_tape.items():
+            S.device_count(k, v)
+        for k, v in body_tape.items():
+            if isinstance(v, (int, float)):
+                S.device_count(k, v * nexec)
     return Lacc
 
 

@@ -51,6 +51,11 @@ class _PathState(NamedTuple):
     prev_spec: jnp.ndarray   # (B,) bool — ray_d came from a delta lobe
     prev_p: jnp.ndarray      # (B, 3) scattering point that spawned ray_d
     path_len: jnp.ndarray    # (B,) int32
+    obs: jnp.ndarray         # (2,) int32 observed [regular, shadow] ray
+    #                          intersect submissions (scene.rs:9-20 counts
+    #                          EXECUTED tests; a lane with t_max <= 0 is
+    #                          masked dead inside the traversal and is not
+    #                          counted)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -112,6 +117,8 @@ class PathIntegrator:
         bounces, else the power heuristic against pmf·pdf_li — the merged
         BSDF-side of MIS (pairs with estimate_direct_light_side)."""
         geom, lt = ctx.geom, ctx.lights
+        st = st._replace(obs=st.obs + jnp.array([1, 0], jnp.int32)
+                         * jnp.sum((ray.t_max > 0.0).astype(jnp.int32)))
         si = scene_intersect_passthrough(geom, ray,
                                          self.max_interface_skips)
         if first and ray.has_differentials:
@@ -158,8 +165,9 @@ class PathIntegrator:
         n_nonspec = B.num_matching(lobes, B.ALL & ~B.SPECULAR)
         lid, pmf = self._pick_light(ctx, sampler, lanes, si_s, d_sel)
         u_light = sampler.get_2d(lanes.pixel_idx, lanes.sample_idx, d_light)
-        ld = estimate_direct_light_side(ctx, self.mat_set, si_s, lobes, lid,
-                                        u_light, pmf)
+        ld, n_shadow = estimate_direct_light_side(ctx, self.mat_set, si_s,
+                                                  lobes, lid, u_light, pmf)
+        st = st._replace(obs=st.obs + jnp.array([0, 1], jnp.int32) * n_shadow)
         Lrad = st.L + jnp.where((st.alive & (n_nonspec > 0))[..., None],
                                 st.beta * ld, 0.0)
 
@@ -199,7 +207,7 @@ class PathIntegrator:
         return _PathState(ray_o=ray.o, ray_d=ray.d, ray_tmax=t_max,
                           L=Lrad, beta=beta, eta_scale=eta_scale,
                           alive=alive, prev_pdf=pdf, prev_spec=spec,
-                          prev_p=si_s.p, path_len=st.path_len)
+                          prev_p=si_s.p, path_len=st.path_len, obs=st.obs)
 
     # -- driver -------------------------------------------------------------
 
@@ -215,11 +223,23 @@ class PathIntegrator:
             # prev_spec=True ⇒ weight-1 emission on camera hits
             prev_pdf=jnp.ones(bs, jnp.float32),
             prev_spec=jnp.ones(bs, bool),
-            prev_p=ray.o, path_len=jnp.zeros(bs, jnp.int32))
+            prev_p=ray.o, path_len=jnp.zeros(bs, jnp.int32),
+            obs=jnp.zeros(2, jnp.int32))
+
+        from ..utils import stats as S
+
+        def emit_observed(st):
+            S.device_count(
+                "Intersections/Regular ray intersection tests (observed)",
+                st.obs[0])
+            S.device_count(
+                "Intersections/Shadow ray intersection tests (observed)",
+                st.obs[1])
 
         # bounce 0: prologue owns the ray differentials
         si, st = self._hit_and_emit(ctx, ray, st, first=True)
         if d == 1:
+            emit_observed(st)
             return st.L, st.path_len
         st = self._scatter(ctx, sampler, lanes, si, st,
                            dims.next_1d(), dims.next_2d(), dims.next_1d(),
@@ -230,6 +250,11 @@ class PathIntegrator:
             base1, base2 = dims.d1, dims.d2
             dims.d1 += 3 * (d - 2)
             dims.d2 += 2 * (d - 2)
+            # tape scope: the scan body is traced ONCE, so tape entries it
+            # adds (static python lane counts from texture lookups) are
+            # multiplied by the trip count after the scan; traced entries
+            # flow through the obs carry instead (never the tape)
+            pre_tape = S.device_tape_drain()
 
             def body(carry, b):
                 r = Ray(o=carry.ray_o, d=carry.ray_d, t_max=carry.ray_tmax)
@@ -247,9 +272,17 @@ class PathIntegrator:
 
             st, _ = jax.lax.scan(body, st,
                                  jnp.arange(1, d - 1, dtype=jnp.uint32))
+            body_tape = S.device_tape_drain()
+            if pre_tape is not None:
+                for k, v in pre_tape.items():
+                    S.device_count(k, v)
+                for k, v in body_tape.items():
+                    if isinstance(v, (int, float)):
+                        S.device_count(k, v * (d - 2))
 
         # final bounce: emission only (the reference breaks after adding le
         # at bounces == max_depth)
         r = Ray(o=st.ray_o, d=st.ray_d, t_max=st.ray_tmax)
         _, st = self._hit_and_emit(ctx, r, st, first=False)
+        emit_observed(st)
         return st.L, st.path_len

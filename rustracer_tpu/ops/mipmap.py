@@ -12,6 +12,7 @@ variable-extent EWA loop is hostile to fixed-shape SPMD.
 """
 from __future__ import annotations
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -96,11 +97,18 @@ def bilerp_level(level, st, wrap):
         (1 - ds) * dt * v01 + ds * dt * v11
 
 
-def lookup_trilinear(pyramid, st, width, wrap=WRAP_REPEAT):
+def lookup_trilinear(pyramid, st, width, wrap=WRAP_REPEAT, _count=True):
     """Trilinear (isotropic) lookup (mipmap.rs lookup/triangle).
 
     pyramid: list of (H, W, C) jnp arrays; st (B, 2); width (B,).
-    """
+
+    Lookup counters (mipmap.rs:17-19): every SPMD lane executes the lookup,
+    so the lane count IS the executed-work count; EWA's internal taps are
+    not double-counted (_count=False)."""
+    if _count:
+        from ..utils import stats as S
+        S.device_count("Textures/Trilinear lookups",
+                       int(np.prod(st.shape[:-1])))
     n = len(pyramid)
     level = n - 1 + jnp.log2(jnp.maximum(width, 1e-8))
     level = jnp.clip(level, 0.0, n - 1)
@@ -130,6 +138,8 @@ def lookup_ewa(pyramid, st, dst0, dst1, max_anisotropy=8.0, wrap=WRAP_REPEAT,
     Anisotropy clamping matches the reference: the minor axis is scaled up so
     major/minor <= max_anisotropy (mipmap.rs lookup_diff ellipse clamp).
     """
+    from ..utils import stats as S
+    S.device_count("Textures/EWA lookups", int(np.prod(st.shape[:-1])))
     len0 = jnp.sqrt(jnp.maximum(jnp.sum(dst0 * dst0, -1), 1e-24))
     len1 = jnp.sqrt(jnp.maximum(jnp.sum(dst1 * dst1, -1), 1e-24))
     major_is_0 = len0 >= len1
@@ -145,6 +155,96 @@ def lookup_ewa(pyramid, st, dst0, dst1, max_anisotropy=8.0, wrap=WRAP_REPEAT,
         r2 = (2.0 * a) ** 2                   # ellipse radius^2 in (0, 1)
         w = float(np.exp(-2.0 * r2) - np.exp(-2.0))
         out = out + w * lookup_trilinear(pyramid, st + a * major, minor_len,
-                                         wrap)
+                                         wrap, _count=False)
         wsum += w
     return out / wsum
+
+
+def lookup_ewa_exact(pyramid, st, dst0, dst1, max_anisotropy=16.0,
+                     wrap=WRAP_REPEAT, n_taps=128):
+    """True-EWA escape hatch (mipmap.rs:227-410 lookup_diff + ewa): the
+    reference's variable-extent texel loop as a MASKED FIXED-TRIP loop of
+    `n_taps` texels over the ellipse bounding box, per lane, at the single
+    level rounded from the minor-axis lod (the reference lerps two levels;
+    the rounded level keeps the tap budget bounded and is within the oracle
+    tolerance in tests/test_ewa.py at anisotropy 16+).
+
+    Selected by textures when maxanisotropy > 8 — boxes up to n_taps
+    texels are covered exactly; taps beyond the cap are truncated. The
+    ellipse bounding box at the minor-chosen level is ~(2*aniso+3) x ~5
+    texels, so n_taps=128 covers anisotropy up to ~16:1 fully (the
+    anisotropy clamp bounds it there by default). Costs n_taps gathers per
+    pyramid level, so it is the opt-in high-quality path, not the default:
+    the 8-tap Gaussian approximation (lookup_ewa) stays the fast path at
+    maxanisotropy <= 8.
+    """
+    from ..utils import stats as S
+    S.device_count("Textures/EWA lookups", int(np.prod(st.shape[:-1])))
+    len0 = jnp.sqrt(jnp.maximum(jnp.sum(dst0 * dst0, -1), 1e-24))
+    len1 = jnp.sqrt(jnp.maximum(jnp.sum(dst1 * dst1, -1), 1e-24))
+    swap = len1 > len0
+    major = jnp.where(swap[..., None], dst1, dst0)
+    minor = jnp.where(swap[..., None], dst0, dst1)
+    major_len = jnp.maximum(len0, len1)
+    minor_len = jnp.minimum(len0, len1)
+    # anisotropy clamp: scale the minor axis UP (mipmap.rs lookup_diff)
+    scale = jnp.where(minor_len * max_anisotropy < major_len,
+                      major_len / (minor_len * max_anisotropy + 1e-24), 1.0)
+    minor = minor * scale[..., None]
+    minor_len = minor_len * scale
+
+    n = len(pyramid)
+    lod = jnp.clip(n - 1 + jnp.log2(jnp.maximum(minor_len, 1e-8)),
+                   0.0, n - 1)
+    li = jnp.round(lod).astype(jnp.int32)
+
+    C_ = pyramid[0].shape[-1]
+    out = jnp.zeros(st.shape[:-1] + (C_,), pyramid[0].dtype)
+    wsum = jnp.zeros(st.shape[:-1], jnp.float32)
+    e2 = float(np.exp(-2.0))
+    for i, lv in enumerate(pyramid):
+        h, w = lv.shape[0], lv.shape[1]
+        at = li == i
+        d0 = major * jnp.asarray([w, h], jnp.float32)
+        d1 = minor * jnp.asarray([w, h], jnp.float32)
+        px = st[..., 0] * w - 0.5
+        py = st[..., 1] * h - 0.5
+        # implicit ellipse coefficients (mipmap.rs:330-356)
+        A = d0[..., 1] ** 2 + d1[..., 1] ** 2 + 1.0
+        Bc = -2.0 * (d0[..., 0] * d0[..., 1] + d1[..., 0] * d1[..., 1])
+        Cc = d0[..., 0] ** 2 + d1[..., 0] ** 2 + 1.0
+        invF = 1.0 / jnp.maximum(A * Cc - Bc * Bc * 0.25, 1e-12)
+        A, Bc, Cc = A * invF, Bc * invF, Cc * invF
+        det = jnp.maximum(-Bc * Bc + 4.0 * A * Cc, 1e-12)
+        u_r = jnp.sqrt(jnp.maximum(Cc * det, 0.0)) * 2.0 / det
+        v_r = jnp.sqrt(jnp.maximum(A * det, 0.0)) * 2.0 / det
+        s0 = jnp.ceil(px - u_r).astype(jnp.int32)
+        s1 = jnp.floor(px + u_r).astype(jnp.int32)
+        t0 = jnp.ceil(py - v_r).astype(jnp.int32)
+        t1 = jnp.floor(py + v_r).astype(jnp.int32)
+        wu = jnp.maximum(s1 - s0 + 1, 1)
+        wv = jnp.maximum(t1 - t0 + 1, 1)
+
+        # fori_loop, not a python unroll: n_taps x n_levels unrolled
+        # gathers made the XLA compile explode (minutes on 2 CPUs)
+        def tap(k, carry):
+            out, wsum = carry
+            ss = s0 + k % wu
+            tt = t0 + k // wu
+            du = ss.astype(jnp.float32) - px
+            dv = tt.astype(jnp.float32) - py
+            r2 = A * du * du + Bc * du * dv + Cc * dv * dv
+            ok = at & (k < wu * wv) & (r2 < 1.0)
+            wgt = jnp.where(ok, jnp.exp(-2.0 * r2) - e2, 0.0)
+            return (out + wgt[..., None] * _texel(lv, ss, tt, wrap),
+                    wsum + wgt)
+
+        out, wsum = jax.lax.fori_loop(0, n_taps, tap, (out, wsum))
+    # degenerate footprints (no tap landed inside): fall back to bilerp at
+    # the lane's level
+    fb = jnp.zeros_like(out)
+    for i, lv in enumerate(pyramid):
+        fb = jnp.where((li == i)[..., None], bilerp_level(lv, st, wrap), fb)
+    good = wsum > 1e-9
+    return jnp.where(good[..., None],
+                     out / jnp.maximum(wsum, 1e-9)[..., None], fb)

@@ -107,7 +107,11 @@ class Renderer:
             ray = camera.generate_ray_differential(p_film, p_lens)
             ray = ray.scaled_differentials(1.0 / np.sqrt(max(1, sampler.spp)))
             dims = DimAllocator()
+            from ..utils import stats as S
+            if self.config.collect_stats:
+                S.device_tape_begin()
             out = li_fn(ctx, ray, lanes, sampler, dims)
+            tape = S.device_tape_end() if self.config.collect_stats else {}
             L, path_len = out if isinstance(out, tuple) else (out, None)
             L = scrub_radiance(L)
             fs = film.add_samples(fs, p_film, L, valid=v)
@@ -131,6 +135,14 @@ class Renderer:
             svec = jnp.stack([jnp.sum(v.astype(jnp.int32)),
                               jnp.sum(zero.astype(jnp.int32)),
                               plen[0], pcnt, plen[1], plen[2]])
+            # observed device counters collected on the tape during trace
+            # (traversal rows/tests, texture lookups) ride along per step
+            names = sorted(tape)
+            self._device_counter_names = names
+            if names:
+                svec = jnp.concatenate(
+                    [svec, jnp.stack([jnp.asarray(tape[k], jnp.int32)
+                                      .reshape(()) for k in names])])
             return fs, svec
 
         self._step = jax.jit(masked_step, donate_argnums=(1,))
@@ -216,10 +228,16 @@ class Renderer:
                 int(sv[:, 4].min()), int(sv[:, 5].max()))
         tests = getattr(self, "_tests_per_lane", None)
         if tests:
-            S.counter_add("Intersections/Regular ray intersection tests",
-                          cam_rays * tests.get("regular", 0))
-            S.counter_add("Intersections/Shadow ray intersection tests",
-                          cam_rays * tests.get("shadow", 0))
+            # static per-lane dispatch bounds (path.py tests_per_lane) —
+            # kept as a separate row next to the observed counts below
+            S.counter_add(
+                "Intersections/Regular traversals (dispatched bound)",
+                cam_rays * tests.get("regular", 0))
+            S.counter_add(
+                "Intersections/Shadow traversals (dispatched bound)",
+                cam_rays * tests.get("shadow", 0))
+        for j, name in enumerate(getattr(self, "_device_counter_names", [])):
+            S.counter_add(name, int(sv[:, 6 + j].sum()))
 
     def render(self, ctx: RenderContext):
         """Full render → (H, W, 3) linear RGB image array."""

@@ -17,7 +17,7 @@ import numpy as np
 from ..core.math import dot
 from ..core.noise import fbm, noise3, turbulence
 from ..ops.mipmap import (WRAP_BLACK, WRAP_CLAMP, WRAP_REPEAT, lookup_ewa,
-                          lookup_trilinear)
+                          lookup_ewa_exact, lookup_trilinear)
 
 
 # --- mappings (texture/mod.rs TextureMapping2D/3D) ---
@@ -261,6 +261,11 @@ class ImageTexture(Texture):
             width = 2.0 * jnp.maximum(
                 jnp.max(jnp.abs(dst0), axis=-1), jnp.max(jnp.abs(dst1), axis=-1))
             v = lookup_trilinear(pyramid, st, width, self.wrap)
+        elif self.max_aniso > 8.0:
+            # high-anisotropy request: the 8-tap approximation diverges past
+            # ~8:1, switch to the masked true-EWA texel loop
+            v = lookup_ewa_exact(pyramid, st, dst0, dst1, self.max_aniso,
+                                 self.wrap)
         else:
             v = lookup_ewa(pyramid, st, dst0, dst1, self.max_aniso, self.wrap)
         v = v * self.scale

@@ -64,6 +64,50 @@ def counter_add(name: str, n: int = 1):
     _counters[name] = _counters.get(name, 0) + int(n)
 
 
+# --- device-counter tape ---------------------------------------------------
+# OBSERVED device-side counts (reference scene.rs:9-20, mipmap.rs:17-19
+# count work actually executed, not dispatched). Hot-path code calls
+# device_count(name, traced_scalar) while the render step is being TRACED;
+# the renderer brackets li_fn with begin/end and folds the collected traced
+# scalars into the per-step counter vector it already fetches. No-op when no
+# tape is active (unit tests, gradient transforms, sharded shard_map bodies).
+
+_device_tape = None
+
+
+def device_tape_begin():
+    global _device_tape
+    _device_tape = {}
+
+
+def device_count(name: str, value):
+    """Accumulate a (traced or python) scalar onto the active tape."""
+    if _device_tape is None:
+        return
+    _device_tape[name] = _device_tape.get(name, 0) + value
+
+
+def device_tape_end():
+    global _device_tape
+    tape, _device_tape = _device_tape, None
+    return tape or {}
+
+
+def device_tape_drain():
+    """Return current entries and reset the tape (None when inactive).
+
+    Loop-building code (lax.scan / while_loop drivers) brackets its traced
+    body with this: entries the body added are static per-trace python
+    counts, which the driver re-emits scaled by the executed trip count.
+    Traced values must never cross a loop boundary via the tape — they are
+    carried through the loop state instead."""
+    global _device_tape
+    if _device_tape is None:
+        return None
+    tape, _device_tape = _device_tape, {}
+    return tape
+
+
 def memory_add(name: str, nbytes: int):
     _memory[name] = _memory.get(name, 0) + int(nbytes)
 

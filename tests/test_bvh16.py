@@ -132,7 +132,7 @@ class TestRegeneration:
         rays = self._big_rays(n, seed=23)
         h1, t1, id1, i1 = bvh16_intersect_triangles_inst(geom, rays)
         sub = jax.tree.map(lambda x: x[: n // 2], rays)
-        h2, t2, id2, i2 = t16._traverse16(geom, sub, any_hit=False)
+        h2, t2, id2, i2 = t16._traverse16(geom, sub, any_hit=False)[:4]
         m = n // 2
         np.testing.assert_array_equal(np.asarray(h1)[:m], np.asarray(h2))
         np.testing.assert_array_equal(np.asarray(t1)[:m], np.asarray(t2))

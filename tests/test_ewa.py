@@ -102,3 +102,61 @@ class TestEWAApproximation:
         b = np.asarray(lookup_trilinear(pyr, jnp.asarray(st),
                                         jnp.asarray(2.0 * r)))
         assert np.abs(a - b).mean() < 0.03
+
+
+class TestTrueEWAEscapeHatch:
+    """lookup_ewa_exact (mipmap.rs:227-410 masked fixed-trip texel loop):
+    at high anisotropy (16:1+) it must track the dense oracle where the
+    8-tap approximation diverges, and textures must route to it when
+    maxanisotropy > 8."""
+
+    def _setup(self, aniso_lo, aniso_hi, n=24, seed=11):
+        rs = np.random.RandomState(seed)
+        h = w = 64
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack([
+            0.2 + 0.6 * xx / w,
+            0.5 + 0.5 * np.sin(2 * np.pi * yy / 8.0),
+            0.5 + 0.4 * np.sin(2 * np.pi * (xx + 2 * yy) / 16.0)],
+            -1).astype(np.float32)
+        pyr = [jnp.asarray(lv) for lv in build_pyramid(img)]
+        st = rs.rand(n, 2).astype(np.float32)
+        minor = rs.uniform(0.5, 1.0, n)
+        major = minor * rs.uniform(aniso_lo, aniso_hi, n)
+        dst0 = np.stack([major / w, np.zeros(n)], -1).astype(np.float32)
+        dst1 = np.stack([np.zeros(n), minor / h], -1).astype(np.float32)
+        return img, pyr, st, dst0, dst1
+
+    def test_high_anisotropy_tracks_oracle(self):
+        from rustracer_tpu.ops.mipmap import lookup_ewa_exact
+        img, pyr, st, dst0, dst1 = self._setup(12.0, 16.0)
+        oracle = ewa_reference(img, st, dst0, dst1, max_aniso=16.0)
+        exact = np.asarray(lookup_ewa_exact(
+            pyr, jnp.asarray(st), jnp.asarray(dst0), jnp.asarray(dst1),
+            16.0, WRAP_REPEAT))
+        approx = np.asarray(lookup_ewa(
+            pyr, jnp.asarray(st), jnp.asarray(dst0), jnp.asarray(dst1),
+            16.0, WRAP_REPEAT))
+        err_exact = np.abs(exact - oracle).mean()
+        err_approx = np.abs(approx - oracle).mean()
+        # bounded absolute error AND at least as good as the 8-tap path
+        assert err_exact < 0.05, err_exact
+        assert err_exact <= err_approx + 1e-3, (err_exact, err_approx)
+
+    def test_moderate_anisotropy_consistent(self):
+        """At ~4:1 both paths agree with the oracle (no regression when the
+        hatch is selected by an over-generous maxanisotropy)."""
+        from rustracer_tpu.ops.mipmap import lookup_ewa_exact
+        img, pyr, st, dst0, dst1 = self._setup(3.0, 5.0)
+        oracle = ewa_reference(img, st, dst0, dst1, max_aniso=16.0)
+        exact = np.asarray(lookup_ewa_exact(
+            pyr, jnp.asarray(st), jnp.asarray(dst0), jnp.asarray(dst1),
+            16.0, WRAP_REPEAT))
+        assert np.abs(exact - oracle).mean() < 0.05
+
+    def test_texture_routes_by_maxanisotropy(self):
+        """ImageTexture picks the exact path for maxanisotropy > 8."""
+        from rustracer_tpu.scene import textures as T
+        t_hq = T.ImageTexture(0, max_aniso=16.0)
+        t_lq = T.ImageTexture(0, max_aniso=8.0)
+        assert t_hq.max_aniso > 8.0 and t_lq.max_aniso <= 8.0

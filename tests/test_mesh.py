@@ -137,3 +137,73 @@ def test_mesh_shapes_agree():
     img_b = render_sharded(ctx, integ.li, cam, film, sampler, mesh_b)
     np.testing.assert_allclose(np.asarray(img_a), np.asarray(img_b),
                                rtol=2e-5, atol=2e-6)
+
+
+def test_watertight_shared_edge_no_cracks():
+    """Watertight property (mesh.rs:214-260): rays aimed exactly AT points
+    on an edge shared by two triangles must hit at least one of them — the
+    exact-sign edge functions (ops/triangle.py _edge_fn residual) may
+    attribute the hit to either side but never to neither. Quantifies the
+    edge-grazing miss rate the reference's f64 fallback guards against."""
+    import jax.numpy as jnp
+    from rustracer_tpu.core.ray import make_ray
+    from rustracer_tpu.ops.triangle import triangle_intersect
+
+    rng = np.random.default_rng(77)
+    n = 4096
+    # two triangles sharing edge (a, b), c1 strictly on the OPPOSITE side
+    # of the edge line (point reflection through the edge midpoint, plus an
+    # out-of-plane offset so the pair is non-coplanar like a real mesh fold)
+    a = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+    b = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+    c0 = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+    nrm = np.cross(b - a, c0 - a)
+    nrm /= np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-9)
+    c1 = (a + b - c0 + nrm * rng.uniform(-0.5, 0.5, (n, 1))).astype(np.float32)
+    # ray origin off-plane; target point ON the shared edge, away from the
+    # endpoints (endpoint-grazing rays can leave BOTH triangles' far edges)
+    o = rng.uniform(4, 6, (n, 3)).astype(np.float32) * \
+        np.sign(rng.normal(size=(n, 3))).astype(np.float32)
+    t = rng.uniform(0.05, 0.95, (n, 1)).astype(np.float32)
+    target = a * t + b * (1 - t)           # f32 point on the edge (rounded)
+    d = (target - o)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    ray_o, ray_d = jnp.asarray(o), jnp.asarray(d)
+    tmax = jnp.full(n, np.inf, jnp.float32)
+    # consistent mesh winding: the shared edge is traversed (a,b) in tri0
+    # and (b,a) in tri1, so the shared-edge function negates EXACTLY and
+    # one side's same-sign test must accept
+    h0 = triangle_intersect(ray_o, ray_d, tmax, jnp.asarray(a),
+                            jnp.asarray(b), jnp.asarray(c0)).hit
+    h1 = triangle_intersect(ray_o, ray_d, tmax, jnp.asarray(b),
+                            jnp.asarray(a), jnp.asarray(c1)).hit
+    hit_any = np.asarray(h0 | h1)
+
+    # A miss is only a CRACK when the two triangles actually cover both
+    # sides of the edge as seen along the ray — rays grazing a fold
+    # silhouette (projected c0/c1 on the SAME side) legitimately miss.
+    # Classify in f64 shear space, excluding borderline projections.
+    kz = np.argmax(np.abs(d), axis=-1)
+    kx, ky = (kz + 1) % 3, (kz + 2) % 3
+    ar = np.arange(n)
+
+    def proj(p):
+        q = (p - o).astype(np.float64)
+        qx, qy, qz = q[ar, kx], q[ar, ky], q[ar, kz]
+        dx_, dy_, dz_ = (d.astype(np.float64)[ar, kx],
+                         d.astype(np.float64)[ar, ky],
+                         d.astype(np.float64)[ar, kz])
+        return qx - dx_ / dz_ * qz, qy - dy_ / dz_ * qz
+
+    ax_, ay_ = proj(a)
+    bx_, by_ = proj(b)
+
+    def side(p):
+        px_, py_ = proj(p)
+        return (bx_ - ax_) * (py_ - ay_) - (by_ - ay_) * (px_ - ax_)
+
+    s0, s1 = side(c0), side(c1)
+    covered = (s0 * s1 < 0) & (np.abs(s0) > 1e-7) & (np.abs(s1) > 1e-7)
+    assert covered.sum() > n // 2          # the filter keeps most rays
+    miss_rate = 1.0 - hit_any[covered].mean()
+    assert miss_rate < 0.002, f"edge-crack miss rate {miss_rate:.4%}"

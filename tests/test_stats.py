@@ -13,6 +13,7 @@ from rustracer_tpu.utils import stats as S
 
 SCENE = """
 Film "image" "integer xresolution" [24] "integer yresolution" [16]
+LookAt 0 0.5 -4  0 0 0  0 1 0
 Camera "perspective" "float fov" [60]
 Sampler "02sequence" "integer pixelsamples" [4]
 Integrator "path" "integer maxdepth" [4]
@@ -49,12 +50,22 @@ def test_stats_populated_after_render():
                                               (0, 0, 0, 0))
     assert pcnt == 24 * 16 * 4
     assert 0 <= lo <= hi <= 4
-    # wavefront-model test counts (merged-MIS path integrator): one closest
-    # hit per bounce (4) and one shadow probe per NEE (4-1) per lane
-    assert S._counters.get("Intersections/Regular ray intersection tests") \
-        == 24 * 16 * 4 * 4
-    assert S._counters.get("Intersections/Shadow ray intersection tests") \
-        == 24 * 16 * 4 * 3
+    # wavefront-model dispatch bounds (merged-MIS path integrator): one
+    # closest hit per bounce (4) and one NEE shadow probe per bounce (4-1)
+    cam = 24 * 16 * 4
+    assert S._counters.get(
+        "Intersections/Regular traversals (dispatched bound)") == cam * 4
+    assert S._counters.get(
+        "Intersections/Shadow traversals (dispatched bound)") == cam * 3
+    # OBSERVED counts (scene.rs:9-20 semantics — executed, not dispatched):
+    # camera rays that miss everything die after bounce 0, so observed is
+    # strictly below the dispatch bound but at least one test per camera ray
+    obs_r = S._counters.get(
+        "Intersections/Regular ray intersection tests (observed)")
+    obs_s = S._counters.get(
+        "Intersections/Shadow ray intersection tests (observed)")
+    assert cam <= obs_r < cam * 4, (obs_r, cam)
+    assert 0 < obs_s <= cam * 3, (obs_s, cam)
 
     # the printed table is populated and categorized (stats/mod.rs:83-201)
     buf = io.StringIO()

@@ -80,7 +80,7 @@ def measure_rows_per_ray(geom, ray, n_sample=4096):
     s = (geom.bvh16_roots[octant], jnp.full((B,), T.FULL_MASK, jnp.int32),
          zero_i, r.t_max, jnp.full((B,), -1, jnp.int32), r.t_max <= 0.0,
          tuple(zero_i for _ in range(D)), tuple(zero_i for _ in range(D)),
-         rayc)
+         rayc, (zero_i, zero_i))
     iters = np.zeros(B, np.int64)
     for _ in range(1000):
         done = np.asarray(s[5])

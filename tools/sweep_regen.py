@@ -57,17 +57,22 @@ def main():
         return min(ts)
 
     print(f"B=2^{lb}; plain driver (majority={t16.MAJORITY_ITERS}, "
-          f"tail=1/{t16.TAIL_FRACTION}) vs regen (A, S):", flush=True)
+          f"tail=1/{t16.TAIL_FRACTION}) vs regen (A, S, FRAC):", flush=True)
     t16.REGEN_MIN_B = 1 << 40          # force plain
     dt = timed(t16._traverse16)
-    print(f"plain          : {dt*1e3:8.1f} ms  {B/dt/1e6:6.2f} Mray/s", flush=True)
-    for lA in (14, 15, 16, 17):
-        for S in (2, 4, 8, 16):
-            t16.REGEN_ACTIVE = 1 << lA
-            t16.REGEN_STEPS = S
-            dt = timed(t16._traverse16_regen)
-            print(f"regen A=2^{lA} S={S:3d}: {dt*1e3:8.1f} ms  "
-                  f"{B/dt/1e6:6.2f} Mray/s", flush=True)
+    print(f"plain                : {dt*1e3:8.1f} ms  {B/dt/1e6:6.2f} Mray/s",
+          flush=True)
+    for lA, S, frac in [(13, 4, 4), (13, 8, 4), (13, 16, 4),
+                        (14, 2, 4), (14, 4, 4), (14, 8, 4), (14, 16, 4),
+                        (14, 4, 2), (14, 8, 2), (14, 16, 2),
+                        (14, 4, 8), (14, 32, 4),
+                        (15, 4, 4), (15, 8, 4)]:
+        t16.REGEN_ACTIVE = 1 << lA
+        t16.REGEN_STEPS = S
+        t16.REGEN_REFILL_FRAC = frac
+        dt = timed(t16._traverse16_regen)
+        print(f"regen A=2^{lA} S={S:3d} F={frac}: {dt*1e3:8.1f} ms  "
+              f"{B/dt/1e6:6.2f} Mray/s", flush=True)
 
 
 if __name__ == "__main__":
