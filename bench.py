@@ -154,6 +154,28 @@ def build_dragon():
     return ctx, cam, film, sampler, integ, n_tris
 
 
+def build_bathroom(res=(1920, 1080)):
+    """BASELINE config 5: the bathroom interior (scenes/bathroom.pbrt —
+    18 imagemap materials through the shared atlas, window + lamps +
+    infinite sky, DoF, spatial light grid) re-driven at 1080p through the
+    full parser."""
+    import re
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    src = open(os.path.join(repo, "scenes", "bathroom.pbrt")).read()
+    src = src.replace('"integer xresolution" [320]',
+                      f'"integer xresolution" [{res[0]}]')
+    src = src.replace('"integer yresolution" [180]',
+                      f'"integer yresolution" [{res[1]}]')
+    src = src.replace('["textures/', f'["{repo}/scenes/textures/')
+    path = "/tmp/bench_bathroom.pbrt"
+    open(path, "w").write(src)
+    from rustracer_tpu.scene.api import parse_scene
+    api = parse_scene(path)
+    sc = api.scene
+    return sc.context(), sc.camera, sc.film, sc.sampler, sc.integrator
+
+
 def bench_forward(ctx, cam, film, sampler, integ, res, spp, n_runs,
                   max_lanes=1 << 16, spp_measure=None):
     """Steady-state camera rays/s. When spp_measure < spp, time an
@@ -317,6 +339,21 @@ def main():
             log(f"cornell fwd+bwd config failed: {e!r}")
     else:
         log("skipping cornell fwd+bwd: budget spent or fwd failed")
+
+    # config 5: bathroom-class interior at 1080p (18 imagemap materials
+    # through the shared atlas + mirror/glass/metal + infinite + DoF)
+    if left() > 90:
+        try:
+            log(f"building bathroom 1080p scene ... ({left():.0f}s left)")
+            bctx, bcam, bfilm, bsamp, binteg = build_bathroom()
+            results["bathroom1080_fwd_rays_per_s"] = round(bench_forward(
+                bctx, bcam, bfilm, bsamp, binteg, (1920, 1080), bsamp.spp,
+                n_runs=2, max_lanes=1 << 18, spp_measure=2), 1)
+            emit()
+        except Exception as e:
+            log(f"bathroom config failed: {e!r}")
+    else:
+        log("skipping bathroom 1080p: budget spent")
 
     results["wall_s"] = round(time.time() - t_start, 1)
     emit()

@@ -57,9 +57,10 @@ FULL_MASK = (1 << 16) - 1
 # tools/bench_gather_pallas.py methodology with the 27.5 ms axon dispatch
 # floor subtracted). Swept on chip: see docs/PERF.md.
 REGEN_MIN_B = 1 << 16    # use regeneration for wavefronts at least this wide
-REGEN_ACTIVE = 1 << 14   # active-window lanes (A)
-REGEN_STEPS = 4          # traversal steps between refill-trigger checks
+REGEN_ACTIVE = 1 << 13   # active-window lanes (A)
+REGEN_STEPS = 8          # traversal steps between refill-trigger checks
 REGEN_REFILL_FRAC = 4    # refill when >= A/FRAC lanes are done (adaptive)
+REGEN_MAX_STEPS = 64     # hard cap on steps between refills
 
 
 def _bitcast_i32(x):
@@ -330,14 +331,31 @@ def _traverse16_regen(tables, ray, any_hit: bool):
 
     def outer(carry):
         s, rid, qhead, *rest = carry
+
+        # adaptive stepping: keep walking the ACTIVE window (A-sized state
+        # only — a lax.cond over the full carry copies the B-sized output
+        # buffers and costs more than it saves) until a refill is worth it:
+        # >= A/FRAC lanes retirable, or everything is done. REGEN_STEPS is
+        # the minimum stride between threshold checks.
+        def step_cond(sk):
+            s_, k = sk
+            n_done = jnp.sum(s_[5].astype(jnp.int32))
+            return (k < REGEN_MAX_STEPS) & \
+                (n_done * REGEN_REFILL_FRAC < A)
+
+        def step_body(sk):
+            s_, k = sk
+            s_ = jax.lax.fori_loop(0, REGEN_STEPS, lambda i, st: body(st),
+                                   s_)
+            return (s_, k + REGEN_STEPS)
+
+        # one unconditional stride first: guarantees traversal progress even
+        # when the retire threshold is already met (e.g. drain tail with an
+        # empty queue), so the outer loop always terminates
         s = jax.lax.fori_loop(0, REGEN_STEPS, lambda i, st: body(st), s)
-        # adaptive refill: the retire/refill pass costs ~a handful of steps,
-        # so run it only once a quarter-window of lanes can be replaced (or
-        # the queue is drained and retiring is all that's left)
-        n_done = jnp.sum(s[5].astype(jnp.int32))
-        trigger = (n_done * REGEN_REFILL_FRAC >= A) | (qhead >= B)
-        return jax.lax.cond(trigger, refill, lambda c: c,
-                            (s, rid, qhead, *rest))
+        s, _ = jax.lax.while_loop(step_cond, step_body,
+                                  (s, jnp.int32(REGEN_STEPS)))
+        return refill((s, rid, qhead, *rest))
 
     init = (load(jnp.arange(A, dtype=jnp.int32)),
             jnp.arange(A, dtype=jnp.int32),

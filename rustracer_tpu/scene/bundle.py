@@ -421,6 +421,14 @@ def build_bundle(api) -> SceneBundle:
         integ = PathIntegrator(mat_set=ms, max_depth=5)
 
     textures = api.textures.pytree()
+    if textures.get("images"):
+        # shared mip atlas metadata (scene/atlas.py): static offsets for
+        # the per-parameter-slot lookup fast path in MaterialSet.shade
+        from .atlas import build_atlas_meta
+        am = build_atlas_meta(textures["images"])
+        if am is not None:
+            textures["atlas_meta"] = am["atlas_meta"]
+            textures["atlas_levels"] = am["atlas_levels"]
     _report_build_stats(geom, lights, ms, film, textures, tris, bvh,
                         n_quadrics=len(ro.quadrics))
     return SceneBundle(

@@ -607,6 +607,42 @@ class MaterialSet:
             s |= m.lobe_types()
         return tuple(sorted(s)) or (B.LAMBERTIAN_REFL,)
 
+    def atlas_prep(self):
+        """Imagemap slot assignment for the shared-atlas fast path
+        (scene/atlas.py): per material, its directly-held eligible
+        ImageTexture params in attribute order become slots; one EWA
+        lookup per SLOT serves every material. → (S, slot_tab (n_mat, S)
+        int32 registration ids, registration tables, per-material texture
+        lists). Cached (static per scene)."""
+        cached = getattr(self, "_atlas_info", None)
+        if cached is not None:
+            return cached
+        from .atlas import build_registrations
+        from .textures import ImageTexture, UVMapping2D
+
+        def eligible(t):
+            return (isinstance(t, ImageTexture)
+                    and isinstance(t.mapping, UVMapping2D)
+                    and not t.trilinear and t.max_aniso <= 8.0
+                    and isinstance(t.scale, (int, float)))
+
+        per_mat = [[t for t in vars(m).values() if eligible(t)]
+                   for m in self.materials]
+        S = max((len(t) for t in per_mat), default=0)
+        if S == 0:
+            self._atlas_info = (0, None, None, per_mat)
+            return self._atlas_info
+        regs, reg_of = [], {}
+        slot_tab = np.full((len(self.materials), S), -1, np.int32)
+        for mid, texs in enumerate(per_mat):
+            for s, t in enumerate(texs):
+                if id(t) not in reg_of:
+                    reg_of[id(t)] = len(regs)
+                    regs.append(t)
+                slot_tab[mid, s] = reg_of[id(t)]
+        self._atlas_info = (S, slot_tab, build_registrations(regs), per_mat)
+        return self._atlas_info
+
     def _pad_rows(self, rows, bs, M):
         t_i, p_i, a_i = _rows_to_arrays(rows, bs)
         k = t_i.shape[-1]
@@ -659,9 +695,32 @@ class MaterialSet:
             la = tab_a[mid_c]
             eta = tab_e[mid_c]
 
+        # shared-atlas fast path: ONE EWA lookup per imagemap parameter
+        # slot for the whole wavefront, served to every textured material
+        # through a per-material trace-time cache (scene/atlas.py)
+        atlas_cache = None
+        per_mat_tex = None
+        if textured and isinstance(ctx.textures, dict) \
+                and "atlas_meta" in ctx.textures:
+            S_, slot_tab, regs, per_mat_tex = self.atlas_prep()
+            if S_:
+                from .atlas import atlas_lookup_ewa, atlas_texels
+                texels = atlas_texels(ctx.textures["images"])
+                midc = jnp.clip(si.material, 0, len(self.materials) - 1)
+                slot_j = jnp.asarray(slot_tab)
+                atlas_cache = [
+                    atlas_lookup_ewa(texels, ctx.textures["atlas_meta"],
+                                     ctx.textures["atlas_levels"], regs,
+                                     slot_j[midc, s], si)
+                    for s in range(S_)]
+
         for mid in textured:
             mat = self.materials[mid]
             sel = si.material == mid
+            if atlas_cache is not None:
+                ctx.textures["_atlas_cache"] = (
+                    si.uv, {id(t): atlas_cache[s]
+                            for s, t in enumerate(per_mat_tex[mid])})
             si_b = mat.apply_bump(si, ctx)
             t_i, p_i, a_i = self._pad_rows(mat.lobe_rows(si_b, ctx), bs, M)
             lt = jnp.where(sel[..., None], t_i, lt)
@@ -671,6 +730,8 @@ class MaterialSet:
             ns = jnp.where(sel[..., None], si_b.ns, ns)
             ss = jnp.where(sel[..., None], si_b.ss, ss)
             ts = jnp.where(sel[..., None], si_b.ts, ts)
+        if atlas_cache is not None:
+            ctx.textures.pop("_atlas_cache", None)
         # lanes with no material (misses / lights-only prims): inactive
         la = la & (si.material >= 0)[..., None] & si.valid[..., None]
         si = si._replace(ns=ns, ss=ss, ts=ts)

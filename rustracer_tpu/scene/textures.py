@@ -255,6 +255,15 @@ class ImageTexture(Texture):
         self.is_spectrum = is_spectrum
 
     def evaluate(self, si, ctx):
+        # shared-atlas fast path: MaterialSet.shade pre-computed this
+        # texture's value for the current wavefront (scene/atlas.py); the
+        # uv identity check rejects shifted evaluations (bump offsets)
+        cache = ctx.textures.get("_atlas_cache") \
+            if isinstance(ctx.textures, dict) else None
+        if cache is not None and cache[0] is si.uv:
+            v = cache[1].get(id(self))
+            if v is not None:
+                return v if self.is_spectrum else v[..., 0]
         pyramid = ctx.textures["images"][self.image_id]
         st, dst0, dst1 = self.mapping.map(si)
         if self.trilinear:

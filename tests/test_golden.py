@@ -166,3 +166,41 @@ class TestEnvmapDof:
         focus_band = gx[int(0.45 * h): int(0.75 * h), w // 4: 3 * w // 4]
         assert np.isfinite(img).all()
         assert focus_band.max() > 0.1      # a real edge exists in focus
+
+
+class TestBathroom:
+    """Bathroom-class interior (BASELINE config 5; the reference's
+    renders/README.md gallery class): two rooms, 18 distinct imagemap
+    materials through the shared atlas (scene/atlas.py) + mirror/glass/
+    metal/substrate/disney, window panel + sphere lamps + infinite sky,
+    thin-lens DoF, spatial light-sampling grid."""
+
+    def test_scene_builds(self):
+        """Fast gate: parses, builds tables + atlas, has the intended
+        material/texture breadth."""
+        api = parse_scene(os.path.join(REPO, "scenes", "bathroom.pbrt"))
+        sc = api.scene
+        ms = sc.material_set
+        assert len(ms.materials) >= 20
+        S_, slot_tab, regs, _ = ms.atlas_prep()
+        assert S_ >= 1 and regs["reg_img"].shape[0] >= 18
+        assert "atlas_meta" in sc.textures
+        assert sc.light_grid is not None          # spatial strategy
+        assert sc.lights.n_lights >= 4            # lamps + window + sky
+        assert sc.camera.lens_radius > 0.0        # DoF
+
+    @pytest.mark.slow
+    def test_matches_golden(self):
+        assert_matches_golden("bathroom")
+
+    @pytest.mark.slow
+    def test_structure(self):
+        img = render_scene("bathroom")
+        h, w, _ = img.shape
+        assert np.isfinite(img).all()
+        # the window (right quarter) is the brightest region of the frame
+        right = img[:, int(w * 0.72):].mean()
+        left = img[:, : w // 2].mean()
+        assert right > 1.5 * left
+        # interior is lit: no large all-black region on the left half
+        assert (img[:, : w // 2].sum(-1) > 1e-3).mean() > 0.9

@@ -19,6 +19,7 @@ sys.path.insert(0, REPO)
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
 
 import numpy as np  # noqa: E402
 
@@ -36,6 +37,7 @@ GOLDEN_SCENES = [
     "testball-textured",
     "veach-mis",
     "envmap-dof",
+    "bathroom",
 ]
 
 

@@ -62,11 +62,10 @@ def main():
     dt = timed(t16._traverse16)
     print(f"plain                : {dt*1e3:8.1f} ms  {B/dt/1e6:6.2f} Mray/s",
           flush=True)
-    for lA, S, frac in [(13, 4, 4), (13, 8, 4), (13, 16, 4),
-                        (14, 2, 4), (14, 4, 4), (14, 8, 4), (14, 16, 4),
-                        (14, 4, 2), (14, 8, 2), (14, 16, 2),
-                        (14, 4, 8), (14, 32, 4),
-                        (15, 4, 4), (15, 8, 4)]:
+    for lA, S, frac in [(14, 16, 1 << 20), (14, 8, 1 << 20),
+                        (13, 16, 1 << 20), (13, 8, 1 << 20),
+                        (14, 16, 4), (13, 8, 4), (13, 16, 4),
+                        (14, 32, 1 << 20)]:
         t16.REGEN_ACTIVE = 1 << lA
         t16.REGEN_STEPS = S
         t16.REGEN_REFILL_FRAC = frac
