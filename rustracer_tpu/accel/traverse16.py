@@ -145,16 +145,17 @@ def _make_body(tables, any_hit: bool, D: int, instanced: bool = False):
         cnt_tri = cnt_tri + jnp.where(
             is_leaf & active, jnp.sum((tid >= 0).astype(jnp.int32), axis=0), 0)
         t_cand = jnp.where(tri_ok, th.t, INFINITY)
-        # integer argmin, then where-chains on the INDEX: comparing floats
-        # against a separately-computed min is unsound under XLA (FMA
-        # contraction recomputes t_cand bitwise-differently per use)
+        # integer argmin, then ONE-HOT selection on the INDEX: comparing
+        # floats against a separately-computed min is unsound under XLA
+        # (FMA contraction recomputes t_cand bitwise-differently per use);
+        # the one-hot sum replaces an 8-iteration where-chain (per-step op
+        # count is the regen driver's bottleneck at small active windows)
         j_min = jnp.argmin(t_cand, axis=0)
-        best_tid = jnp.full(j_min.shape, -1, jnp.int32)
-        t_min = jnp.full(j_min.shape, INFINITY)
-        for k in range(8):
-            at = j_min == k
-            best_tid = jnp.where(at & tri_ok[k], tid[k], best_tid)
-            t_min = jnp.where(at, t_cand[k], t_min)
+        eq8 = j_min[None, :] == jnp.arange(8, dtype=jnp.int32)[:, None]
+        tid_sel = jnp.sum(jnp.where(eq8, tid, 0), axis=0)
+        ok_sel = jnp.any(eq8 & tri_ok, axis=0)
+        t_min = jnp.sum(jnp.where(eq8, t_cand, 0.0), axis=0)
+        best_tid = jnp.where(ok_sel, tid_sel, -1)
         upd = is_leaf & active & (best_tid >= 0) & (t_min < t_best)
         t_best = jnp.where(upd, t_min, t_best)
         prim = jnp.where(upd, best_tid, prim)
@@ -177,9 +178,8 @@ def _make_body(tables, any_hit: bool, D: int, instanced: bool = False):
                      | ((bdy < 0).astype(jnp.int32) << 1)
                      | ((bdz < 0).astype(jnp.int32) << 2))
             roots8 = _bitcast_i32(recT[1:9])              # (8, B)
-            blas_root = jnp.zeros_like(row)
-            for k in range(8):
-                blas_root = jnp.where(oct_o == k, roots8[k], blas_root)
+            eq_o = oct_o[None, :] == jnp.arange(8, dtype=jnp.int32)[:, None]
+            blas_root = jnp.sum(jnp.where(eq_o, roots8, 0), axis=0)
             rec_inst = _bitcast_i32(recT[9])
             enter = active & is_inst
         else:
@@ -189,9 +189,8 @@ def _make_body(tables, any_hit: bool, D: int, instanced: bool = False):
         descend = active & is_int & (m != 0)
         low = m & -m
         slot = jax.lax.population_count(low - 1)
-        link = jnp.zeros_like(row)
-        for k in range(16):
-            link = jnp.where(slot == k, links[k], link)
+        eq16 = slot[None, :] == jnp.arange(16, dtype=jnp.int32)[:, None]
+        link = jnp.sum(jnp.where(eq16, links, 0), axis=0)
         rest = m & ~low
         push = descend & (rest != 0)
         for d in range(D):
@@ -204,12 +203,9 @@ def _make_body(tables, any_hit: bool, D: int, instanced: bool = False):
 
         need_pop = active & ~descend & ~enter
         sp_top = sp - 1
-        prow = jnp.zeros_like(row)
-        pmask = jnp.zeros_like(vmask)
-        for d in range(D):
-            at = sp_top == d
-            prow = jnp.where(at, stack_row[d], prow)
-            pmask = jnp.where(at, stack_mask[d], pmask)
+        eq_d = sp_top[None, :] == jnp.arange(D, dtype=jnp.int32)[:, None]
+        prow = jnp.sum(jnp.where(eq_d, jnp.stack(stack_row), 0), axis=0)
+        pmask = jnp.sum(jnp.where(eq_d, jnp.stack(stack_mask), 0), axis=0)
         can_pop = need_pop & (sp > 0)
         done = done | (need_pop & (sp == 0))
         if any_hit:
@@ -335,26 +331,23 @@ def _traverse16_regen(tables, ray, any_hit: bool):
         # adaptive stepping: keep walking the ACTIVE window (A-sized state
         # only — a lax.cond over the full carry copies the B-sized output
         # buffers and costs more than it saves) until a refill is worth it:
-        # >= A/FRAC lanes retirable, or everything is done. REGEN_STEPS is
-        # the minimum stride between threshold checks.
+        # >= A/FRAC lanes retirable, or everything is done. The first
+        # REGEN_STEPS steps are unconditional (guaranteed progress even at
+        # the drain tail, so the outer loop terminates); the body appears
+        # ONCE in the traced loop — an unrolled stride multiplied the HLO
+        # ~9x per traversal site and pushed the dragon render-step compile
+        # to 14+ minutes through the axon tunnel.
         def step_cond(sk):
             s_, k = sk
             n_done = jnp.sum(s_[5].astype(jnp.int32))
             return (k < REGEN_MAX_STEPS) & \
-                (n_done * REGEN_REFILL_FRAC < A)
+                ((k < REGEN_STEPS) | (n_done * REGEN_REFILL_FRAC < A))
 
         def step_body(sk):
             s_, k = sk
-            s_ = jax.lax.fori_loop(0, REGEN_STEPS, lambda i, st: body(st),
-                                   s_)
-            return (s_, k + REGEN_STEPS)
+            return (body(s_), k + 1)
 
-        # one unconditional stride first: guarantees traversal progress even
-        # when the retire threshold is already met (e.g. drain tail with an
-        # empty queue), so the outer loop always terminates
-        s = jax.lax.fori_loop(0, REGEN_STEPS, lambda i, st: body(st), s)
-        s, _ = jax.lax.while_loop(step_cond, step_body,
-                                  (s, jnp.int32(REGEN_STEPS)))
+        s, _ = jax.lax.while_loop(step_cond, step_body, (s, jnp.int32(0)))
         return refill((s, rid, qhead, *rest))
 
     init = (load(jnp.arange(A, dtype=jnp.int32)),
