@@ -263,9 +263,22 @@ def _traverse16_regen(tables, ray, any_hit: bool):
     bt = ray.t_max
     zero_A = jnp.zeros((A,), jnp.int32)
 
+    # queue only the LIVE backlog rays: bounce/NEE wavefronts are often
+    # mostly dead lanes (t_max <= 0 after path termination or NEE masks),
+    # and loading a dead ray burns a lane slot for a full refill stride.
+    # One cumsum + drop-scatter compacts the queue; dead rays keep the
+    # no-hit defaults already in the output buffers.
+    alive0 = bt > 0.0
+    n_q = jnp.sum(alive0.astype(jnp.int32))
+    slot = jnp.where(alive0, jnp.cumsum(alive0.astype(jnp.int32)) - 1, B)
+    queue = jnp.zeros((B,), jnp.int32).at[slot].set(
+        jnp.arange(B, dtype=jnp.int32), mode="drop")
+
     def load(q):
-        """Fresh per-lane state for backlog rays q ((A,) int32, clipped)."""
-        j = jnp.clip(q, 0, B - 1)
+        """Fresh per-lane state + ray ids for queue slots q ((A,) int32).
+        Slots past the queue end load an idle done lane (rid -1)."""
+        valid = q < n_q
+        j = queue[jnp.clip(q, 0, B - 1)]
         ox, oy, oz = box_[j], boy_[j], boz_[j]
         dx, dy, dz = bdx[j], bdy[j], bdz[j]
         rayc = (ox, oy, oz, dx, dy, dz,
@@ -279,14 +292,15 @@ def _traverse16_regen(tables, ray, any_hit: bool):
               zero_A,
               t_max,
               jnp.full((A,), -1, jnp.int32),
-              t_max <= 0.0,
+              ~valid | (t_max <= 0.0),
               tuple(zero_A for _ in range(D)),
               tuple(zero_A for _ in range(D)),
               rayc)
         if instanced:
             st = st + (rayc, jnp.full((A,), -1, jnp.int32), zero_A,
                        jnp.full((A,), -1, jnp.int32))
-        return st + ((zero_A, zero_A),)           # observed-work counters
+        st = st + ((zero_A, zero_A),)             # observed-work counters
+        return st, jnp.where(valid, j, -1)
 
     def merge(take, new, old):
         return jax.tree.map(
@@ -307,7 +321,7 @@ def _traverse16_regen(tables, ray, any_hit: bool):
 
     def cond(carry):
         s, rid, qhead, *_ = carry
-        return (qhead < B) | jnp.any(~s[5])
+        return (qhead < n_q) | jnp.any(~s[5])
 
     def refill(carry):
         s, rid, qhead, out_t, out_prim, out_inst, acc = carry
@@ -315,13 +329,14 @@ def _traverse16_regen(tables, ray, any_hit: bool):
         out_t, out_prim, out_inst = retire(s, rid, out_t, out_prim, out_inst)
         rank = jnp.cumsum(done.astype(jnp.int32)) - 1
         qnew = qhead + rank
-        take = done & (qnew < B)
+        take = done & (qnew < n_q)
         # bank replaced lanes' observed-work counts (load() zeroes them)
         cnt_rows, cnt_tri = s[-1]
         acc = acc + jnp.stack([jnp.sum(jnp.where(take, cnt_rows, 0)),
                                jnp.sum(jnp.where(take, cnt_tri, 0))])
-        s = merge(take, load(qnew), s)
-        rid = jnp.where(take, qnew, jnp.where(done, -1, rid))
+        new_s, new_rid = load(qnew)
+        s = merge(take, new_s, s)
+        rid = jnp.where(take, new_rid, jnp.where(done, -1, rid))
         qhead = qhead + jnp.sum(take.astype(jnp.int32))
         return (s, rid, qhead, out_t, out_prim, out_inst, acc)
 
@@ -350,8 +365,9 @@ def _traverse16_regen(tables, ray, any_hit: bool):
         s, _ = jax.lax.while_loop(step_cond, step_body, (s, jnp.int32(0)))
         return refill((s, rid, qhead, *rest))
 
-    init = (load(jnp.arange(A, dtype=jnp.int32)),
-            jnp.arange(A, dtype=jnp.int32),
+    st0, rid0 = load(jnp.arange(A, dtype=jnp.int32))
+    init = (st0,
+            rid0,
             jnp.int32(A),
             jnp.full((B,), INFINITY),
             jnp.full((B,), -1, jnp.int32),
