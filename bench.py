@@ -208,9 +208,18 @@ def bench_forward(ctx, cam, film, sampler, integ, res, spp, n_runs,
 def bench_cornell_fwdbwd(ctx, cam, film, sampler, integ, n_runs=3):
     """Forward+backward rays/s: value_and_grad of a full-render image loss
     w.r.t. the material textures (BASELINE.json fwd+bwd metric)."""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    # inter-bounce compaction is a forward-render knob: its sort/cond/
+    # scatter transposes cost ~14% under value_and_grad (see
+    # integrators/path.py compact_interior) — differentiable rendering
+    # runs with it off, as a real user would
+    if getattr(integ, "compact_interior", False):
+        integ = dataclasses.replace(integ, compact_interior=False)
     from rustracer_tpu.render.renderer import Lanes, scrub_radiance
     from rustracer_tpu.render.sampler import DimAllocator
 

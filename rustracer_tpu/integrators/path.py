@@ -39,6 +39,12 @@ from ..scene.tables import scene_intersect_passthrough
 from .common import estimate_direct_light_side
 
 
+# inter-bounce compaction threshold: wavefronts at least this wide run the
+# interior scan on a static B/2 alive-first slab when >= half the lanes are
+# dead (see PathIntegrator._run); smaller wavefronts always scan full width
+PATH_COMPACT_MIN_B = 1 << 16
+
+
 class _PathState(NamedTuple):
     ray_o: jnp.ndarray       # (B, 3)
     ray_d: jnp.ndarray       # (B, 3)
@@ -64,6 +70,12 @@ class PathIntegrator:
     max_depth: int = 5
     rr_threshold: float = 1.0
     max_interface_skips: int = 8
+    # inter-bounce half-compaction (see _run): a FORWARD-render
+    # optimization (+5% dragon end-to-end). Under value_and_grad the
+    # sort/cond/gather-scatter transposes cost more than the halved scan
+    # saves (measured -14% on cornell fwd+bwd) — differentiable-rendering
+    # callers should dataclasses.replace(integ, compact_interior=False).
+    compact_interior: bool = True
 
     def li(self, ctx, ray, lanes, sampler, dims):
         return self._run(ctx, ray, lanes, sampler, dims)[0]
@@ -256,22 +268,68 @@ class PathIntegrator:
             # flow through the obs carry instead (never the tape)
             pre_tape = S.device_tape_drain()
 
-            def body(carry, b):
-                r = Ray(o=carry.ray_o, d=carry.ray_d, t_max=carry.ray_tmax)
-                si_b, c = self._hit_and_emit(ctx, r, carry, first=False)
-                k = b - jnp.uint32(1)
-                c = self._scatter(
-                    ctx, sampler, lanes, si_b, c,
-                    jnp.uint32(base1) + k * jnp.uint32(3),
-                    jnp.uint32(base2) + k * jnp.uint32(2),
-                    jnp.uint32(base1) + k * jnp.uint32(3) + jnp.uint32(1),
-                    jnp.uint32(base2) + k * jnp.uint32(2) + jnp.uint32(1),
-                    jnp.uint32(base1) + k * jnp.uint32(3) + jnp.uint32(2),
-                    rr_on=b > jnp.uint32(3))
-                return c, None
+            def scan_bounces(st_k, lanes_k):
+                def body(carry, b):
+                    r = Ray(o=carry.ray_o, d=carry.ray_d,
+                            t_max=carry.ray_tmax)
+                    si_b, c = self._hit_and_emit(ctx, r, carry, first=False)
+                    k = b - jnp.uint32(1)
+                    c = self._scatter(
+                        ctx, sampler, lanes_k, si_b, c,
+                        jnp.uint32(base1) + k * jnp.uint32(3),
+                        jnp.uint32(base2) + k * jnp.uint32(2),
+                        jnp.uint32(base1) + k * jnp.uint32(3) + jnp.uint32(1),
+                        jnp.uint32(base2) + k * jnp.uint32(2) + jnp.uint32(1),
+                        jnp.uint32(base1) + k * jnp.uint32(3) + jnp.uint32(2),
+                        rr_on=b > jnp.uint32(3))
+                    return c, None
+                out, _ = jax.lax.scan(body, st_k,
+                                      jnp.arange(1, d - 1, dtype=jnp.uint32))
+                return out
 
-            st, _ = jax.lax.scan(body, st,
-                                 jnp.arange(1, d - 1, dtype=jnp.uint32))
+            B0 = st.alive.shape[0] if st.alive.ndim == 1 else 0
+            if self.compact_interior and B0 >= PATH_COMPACT_MIN_B \
+                    and B0 % 2 == 0:
+                # inter-bounce HALF-compaction: open scenes kill most lanes
+                # at bounce 0 (dragon hit fraction 0.295), yet every scanned
+                # bounce pays full-width shading/NEE VPU work. When at most
+                # half the lanes are alive, gather the path state alive-
+                # first into a static B/2 slab, scan THAT, and scatter
+                # back — the scan costs half. Dead lanes skipped this way
+                # are never read again (their L/path_len are final and the
+                # full-width body only ever updates them under alive
+                # masks), so results are identical; when more than half
+                # survive, the unchanged full-width scan runs instead.
+                H = B0 // 2
+                order = jnp.argsort(~st.alive)          # alive-first, stable
+                sel = order[:H]
+                n_alive = jnp.sum(st.alive.astype(jnp.int32))
+                obs_pre = st.obs
+                st_z = st._replace(obs=jnp.zeros(2, jnp.int32))
+
+                def is_lane(x):
+                    return hasattr(x, "ndim") and x.ndim >= 1 \
+                        and x.shape[0] == B0
+
+                def compact_branch(st_in):
+                    sub = jax.tree.map(
+                        lambda x: x[sel] if is_lane(x) else x, st_in)
+                    lanes_sub = type(lanes)(
+                        pixel_idx=lanes.pixel_idx[sel],
+                        sample_idx=lanes.sample_idx[sel])
+                    sub = scan_bounces(sub, lanes_sub)
+                    return jax.tree.map(
+                        lambda full, s_: full.at[sel].set(s_)
+                        if is_lane(full) else s_, st_in, sub)
+
+                def full_branch(st_in):
+                    return scan_bounces(st_in, lanes)
+
+                st = jax.lax.cond(n_alive <= H, compact_branch, full_branch,
+                                  st_z)
+                st = st._replace(obs=st.obs + obs_pre)
+            else:
+                st = scan_bounces(st, lanes)
             body_tape = S.device_tape_drain()
             if pre_tape is not None:
                 for k, v in pre_tape.items():
