@@ -336,7 +336,7 @@ def build_bundle(api) -> SceneBundle:
     # quirk parity: scene-provided filenames get an "rt-" prefix
     # (reference film.rs:118-123)
     fname = fp.find_one_string("filename", "")
-    fname = ("rt-" + fname) if fname else "pbrt.png"
+    fname = ("rt-" + fname) if fname else "image.png"
     film = Film(full_resolution=(xres, yres),
                 crop_window=crop,
                 filter=filt, filename=fname,
