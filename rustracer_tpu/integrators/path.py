@@ -328,15 +328,20 @@ class PathIntegrator:
                 st = jax.lax.cond(n_alive <= H, compact_branch, full_branch,
                                   st_z)
                 st = st._replace(obs=st.obs + obs_pre)
+                # BOTH branches were traced, so static python tape counts
+                # (texture lookups) were added at B and at B/2 widths;
+                # normalize to the full-width dispatch number (/1.5)
+                tape_scale = 1.0 / 1.5
             else:
                 st = scan_bounces(st, lanes)
+                tape_scale = 1.0
             body_tape = S.device_tape_drain()
             if pre_tape is not None:
                 for k, v in pre_tape.items():
                     S.device_count(k, v)
                 for k, v in body_tape.items():
                     if isinstance(v, (int, float)):
-                        S.device_count(k, v * (d - 2))
+                        S.device_count(k, int(v * tape_scale) * (d - 2))
 
         # final bounce: emission only (the reference breaks after adding le
         # at bounces == max_depth)
