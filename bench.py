@@ -104,7 +104,7 @@ def build_dragon():
     base = mv.shape[0]
     extra_f = np.array([
         [base, base + 1, base + 2], [base, base + 2, base + 3],       # ground
-        [base + 4, base + 6, base + 5], [base + 4, base + 7, base + 6],  # light
+        [base + 4, base + 5, base + 6], [base + 4, base + 6, base + 7],  # light
     ], np.int32)
 
     tv_p = np.concatenate([mv, extra_v])
@@ -201,7 +201,11 @@ def bench_forward(ctx, cam, film, sampler, integ, res, spp, n_runs,
         np.asarray(img)  # block
         times.append(time.perf_counter() - t0)
     best = min(times)
-    assert np.isfinite(np.asarray(img)).all(), "non-finite radiance in bench"
+    img = np.asarray(img)
+    assert np.isfinite(img).all(), "non-finite radiance in bench"
+    # a black render means the scene is broken (round-4 lesson: a light
+    # quad wound the wrong way emitted away from the scene for 3 rounds)
+    assert img.mean() > 1e-4, f"bench render is black (mean {img.mean()})"
     return res[0] * res[1] * spp_measure / best
 
 
