@@ -141,3 +141,22 @@ class TestRegeneration:
         p1 = bvh16_intersect_p_triangles(geom, rays)
         p2 = t16._traverse16(geom, sub, any_hit=True)[0]
         np.testing.assert_array_equal(np.asarray(p1)[:m], np.asarray(p2))
+
+
+def test_observed_counts_api():
+    """bvh16_intersect_counts: observed rows/tests are positive for live
+    wavefronts, zero for dead ones, and triangle tests never exceed
+    8 x rows (a leaf record holds at most 8 triangles)."""
+    from rustracer_tpu.accel.traverse16 import bvh16_intersect_counts
+    tris = random_soup(300, seed=31)
+    geom = wide_geom(tris)
+    rays = random_rays(2048, seed=32)
+    h, t, tid, inst, cnt = bvh16_intersect_counts(geom, rays)
+    rows, tests = int(np.asarray(cnt)[0]), int(np.asarray(cnt)[1])
+    assert rows > 0 and tests > 0
+    assert tests <= 8 * rows
+    # at least one row per ray that hit anything
+    assert rows >= int(np.asarray(h).sum())
+    dead = rays._replace(t_max=jnp.zeros(2048, jnp.float32))
+    _, _, _, _, cnt0 = bvh16_intersect_counts(geom, dead)
+    assert int(np.asarray(cnt0).sum()) == 0
