@@ -73,7 +73,73 @@ def _inv_dir(c):
     return 1.0 / safe
 
 
-def _make_body(tables, any_hit: bool, D: int, instanced: bool = False):
+def _interior_hits(recT, rayc, t_best, links, vmask):
+    """Interior record interpretation: 16 slab tests (words 17..113) →
+    bitmask of unvisited hit children. All shapes (16, B)."""
+    ox, oy, oz, _, _, _, ix, iy, iz = rayc
+    r1 = lambda v: v[None, :]
+    lo_x = recT[17:33]
+    lo_y = recT[33:49]
+    lo_z = recT[49:65]
+    hi_x = recT[65:81]
+    hi_y = recT[81:97]
+    hi_z = recT[97:113]
+    t0x = (lo_x - r1(ox)) * r1(ix)
+    t1x = (hi_x - r1(ox)) * r1(ix)
+    t0y = (lo_y - r1(oy)) * r1(iy)
+    t1y = (hi_y - r1(oy)) * r1(iy)
+    t0z = (lo_z - r1(oz)) * r1(iz)
+    t1z = (hi_z - r1(oz)) * r1(iz)
+    t_near = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                     jnp.minimum(t0y, t1y)),
+                         jnp.minimum(t0z, t1z))
+    t_far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                    jnp.maximum(t0y, t1y)),
+                        jnp.maximum(t0z, t1z)) * 1.00000024
+    box_hit = (t_near <= t_far) & (t_far > 0.0) & \
+        (t_near < r1(t_best)) & (links >= 0)
+    bits = jnp.sum(
+        jnp.where(box_hit,
+                  jnp.int32(1) << jnp.arange(16, dtype=jnp.int32)[:, None],
+                  0), axis=0)
+    return bits & vmask
+
+
+def _leaf_hits(recT, rayc, t_best, leaf_active):
+    """Leaf record interpretation: 8 watertight triangle tests (words 1..81)
+    → (best_tid, t_min, per-lane executed-test count)."""
+    ox, oy, oz, dx, dy, dz, _, _, _ = rayc
+    r1 = lambda v: v[None, :]
+    tid = _bitcast_i32(recT[1:9])                     # (8, B)
+    blk = lambda j: recT[9 + j * 8:9 + (j + 1) * 8]
+    th = triangle_intersect_c(
+        (r1(ox), r1(oy), r1(oz)), (r1(dx), r1(dy), r1(dz)),
+        r1(t_best), (blk(0), blk(1), blk(2)),
+        (blk(3), blk(4), blk(5)), (blk(6), blk(7), blk(8)))
+    tri_ok = leaf_active[None, :] & (tid >= 0) & th.hit
+    n_tri = jnp.where(
+        leaf_active, jnp.sum((tid >= 0).astype(jnp.int32), axis=0), 0)
+    t_cand = jnp.where(tri_ok, th.t, INFINITY)
+    # integer argmin, then ONE-HOT selection on the INDEX: comparing
+    # floats against a separately-computed min is unsound under XLA
+    # (FMA contraction recomputes t_cand bitwise-differently per use);
+    # the one-hot sum replaces an 8-iteration where-chain (per-step op
+    # count is the regen driver's bottleneck at small active windows)
+    j_min = jnp.argmin(t_cand, axis=0)
+    eq8 = j_min[None, :] == jnp.arange(8, dtype=jnp.int32)[:, None]
+    tid_sel = jnp.sum(jnp.where(eq8, tid, 0), axis=0)
+    ok_sel = jnp.any(eq8 & tri_ok, axis=0)
+    t_min = jnp.sum(jnp.where(eq8, t_cand, 0.0), axis=0)
+    best_tid = jnp.where(ok_sel, tid_sel, -1)
+    return best_tid, t_min, n_tri
+
+
+def _make_body(tables, any_hit: bool, D: int, instanced: bool = False,
+               ablate: frozenset = frozenset()):
+    """ablate is a perf-experiment hook (tools/exp_stepcost.py): a set of
+    {"gather", "interior", "leaf", "stack"} section names to stub out so
+    per-step cost can be decomposed on hardware. Production callers pass
+    nothing; results are garbage under ablation (timing only)."""
     table = tables.bvh16_table            # (R, 128)
     R = table.shape[0]
 
@@ -84,14 +150,16 @@ def _make_body(tables, any_hit: bool, D: int, instanced: bool = False):
         else:
             (row, vmask, sp, t_best, prim, done, stack_row, stack_mask,
              rayc, cnt) = s
-        ox, oy, oz, dx, dy, dz, ix, iy, iz = rayc
         active = ~done
         # observed-work counters (reference scene.rs:9-20 counts executed
         # tests): rows actually gathered for live lanes + non-pad triangle
         # tests — per-lane int32 adds, summed once at the end
         cnt_rows, cnt_tri = cnt
         cnt_rows = cnt_rows + active.astype(jnp.int32)
-        rec = table[jnp.clip(row, 0, R - 1)]              # ONE row gather
+        if "gather" in ablate:
+            rec = jnp.broadcast_to(table[0], (row.shape[0], 128))
+        else:
+            rec = table[jnp.clip(row, 0, R - 1)]          # ONE row gather
         # Everything below runs on (k, B) shapes: B maps onto the 128-lane
         # axis at full utilization. Keeping the raw (B, 16)/(B, 8) slices
         # puts the tiny child axis on lanes at 6-12% utilization and makes
@@ -106,57 +174,21 @@ def _make_body(tables, any_hit: bool, D: int, instanced: bool = False):
             is_int = ~is_leaf
 
         # --- interior interpretation: 16 slab tests (words 17..113) ---
-        lo_x = recT[17:33]
-        lo_y = recT[33:49]
-        lo_z = recT[49:65]
-        hi_x = recT[65:81]
-        hi_y = recT[81:97]
-        hi_z = recT[97:113]
-        r1 = lambda v: v[None, :]
-        t0x = (lo_x - r1(ox)) * r1(ix)
-        t1x = (hi_x - r1(ox)) * r1(ix)
-        t0y = (lo_y - r1(oy)) * r1(iy)
-        t1y = (hi_y - r1(oy)) * r1(iy)
-        t0z = (lo_z - r1(oz)) * r1(iz)
-        t1z = (hi_z - r1(oz)) * r1(iz)
-        t_near = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                         jnp.minimum(t0y, t1y)),
-                             jnp.minimum(t0z, t1z))
-        t_far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                        jnp.maximum(t0y, t1y)),
-                            jnp.maximum(t0z, t1z)) * 1.00000024
         links = _bitcast_i32(recT[1:17])                  # (16, B)
-        box_hit = (t_near <= t_far) & (t_far > 0.0) & \
-            (t_near < r1(t_best)) & (links >= 0)
-        bits = jnp.sum(
-            jnp.where(box_hit,
-                      jnp.int32(1) << jnp.arange(16, dtype=jnp.int32)[:, None],
-                      0), axis=0)
-        m = bits & vmask
+        if "interior" in ablate:
+            m = jnp.zeros_like(row)
+        else:
+            m = _interior_hits(recT, rayc, t_best, links, vmask)
 
-        # --- leaf interpretation: 8 watertight tests (words 1..81) ---
-        tid = _bitcast_i32(recT[1:9])                     # (8, B)
-        blk = lambda j: recT[9 + j * 8:9 + (j + 1) * 8]
-        th = triangle_intersect_c(
-            (r1(ox), r1(oy), r1(oz)), (r1(dx), r1(dy), r1(dz)),
-            r1(t_best), (blk(0), blk(1), blk(2)),
-            (blk(3), blk(4), blk(5)), (blk(6), blk(7), blk(8)))
-        tri_ok = (is_leaf & active)[None, :] & (tid >= 0) & th.hit
-        cnt_tri = cnt_tri + jnp.where(
-            is_leaf & active, jnp.sum((tid >= 0).astype(jnp.int32), axis=0), 0)
-        t_cand = jnp.where(tri_ok, th.t, INFINITY)
-        # integer argmin, then ONE-HOT selection on the INDEX: comparing
-        # floats against a separately-computed min is unsound under XLA
-        # (FMA contraction recomputes t_cand bitwise-differently per use);
-        # the one-hot sum replaces an 8-iteration where-chain (per-step op
-        # count is the regen driver's bottleneck at small active windows)
-        j_min = jnp.argmin(t_cand, axis=0)
-        eq8 = j_min[None, :] == jnp.arange(8, dtype=jnp.int32)[:, None]
-        tid_sel = jnp.sum(jnp.where(eq8, tid, 0), axis=0)
-        ok_sel = jnp.any(eq8 & tri_ok, axis=0)
-        t_min = jnp.sum(jnp.where(eq8, t_cand, 0.0), axis=0)
-        best_tid = jnp.where(ok_sel, tid_sel, -1)
-        upd = is_leaf & active & (best_tid >= 0) & (t_min < t_best)
+        if "leaf" in ablate:
+            upd = jnp.zeros_like(done)
+            t_min = t_best
+            best_tid = prim
+        else:
+            best_tid, t_min, n_tri = _leaf_hits(recT, rayc, t_best,
+                                                is_leaf & active)
+            cnt_tri = cnt_tri + n_tri
+            upd = is_leaf & active & (best_tid >= 0) & (t_min < t_best)
         t_best = jnp.where(upd, t_min, t_best)
         prim = jnp.where(upd, best_tid, prim)
         if instanced:
@@ -193,19 +225,24 @@ def _make_body(tables, any_hit: bool, D: int, instanced: bool = False):
         link = jnp.sum(jnp.where(eq16, links, 0), axis=0)
         rest = m & ~low
         push = descend & (rest != 0)
-        for d in range(D):
-            at = push & (sp == d)
-            stack_row = tuple(jnp.where(at, row, sr) if d == e else sr
-                              for e, sr in enumerate(stack_row))
-            stack_mask = tuple(jnp.where(at, rest, sm) if d == e else sm
-                               for e, sm in enumerate(stack_mask))
+        if "stack" not in ablate:
+            for d in range(D):
+                at = push & (sp == d)
+                stack_row = tuple(jnp.where(at, row, sr) if d == e else sr
+                                  for e, sr in enumerate(stack_row))
+                stack_mask = tuple(jnp.where(at, rest, sm) if d == e else sm
+                                   for e, sm in enumerate(stack_mask))
         sp = sp + push.astype(jnp.int32)
 
         need_pop = active & ~descend & ~enter
         sp_top = sp - 1
-        eq_d = sp_top[None, :] == jnp.arange(D, dtype=jnp.int32)[:, None]
-        prow = jnp.sum(jnp.where(eq_d, jnp.stack(stack_row), 0), axis=0)
-        pmask = jnp.sum(jnp.where(eq_d, jnp.stack(stack_mask), 0), axis=0)
+        if "stack" in ablate:
+            prow = jnp.zeros_like(row)
+            pmask = jnp.zeros_like(row)
+        else:
+            eq_d = sp_top[None, :] == jnp.arange(D, dtype=jnp.int32)[:, None]
+            prow = jnp.sum(jnp.where(eq_d, jnp.stack(stack_row), 0), axis=0)
+            pmask = jnp.sum(jnp.where(eq_d, jnp.stack(stack_mask), 0), axis=0)
         can_pop = need_pop & (sp > 0)
         done = done | (need_pop & (sp == 0))
         if any_hit:

@@ -211,7 +211,7 @@ def _trace_specular_stack(ctx, mat_set, ray, lanes, sampler, dims, max_depth,
     from ..core.interaction import compute_differentials
     lt = ctx.lights
     bs = ray.t_max.shape
-    S = max_depth + 2
+    STACK_N = max_depth + 2
 
     def node(ray_e, live, b1, b2):
         si = scene_intersect(ctx.geom, ray_e)
@@ -229,13 +229,16 @@ def _trace_specular_stack(ctx, mat_set, ray, lanes, sampler, dims, max_depth,
         return Lloc, si_s, lobes, alive, od.k1, od.k2
 
     stack0 = (
-        jax.tree.map(lambda a: jnp.zeros((S,) + a.shape, a.dtype), ray),
-        jnp.zeros((S,) + bs + (3,), jnp.float32),      # throughput
-        jnp.zeros((S,) + bs, bool),                    # live
-        jnp.zeros((S,), jnp.int32),                    # depth
-        jnp.zeros((S,), jnp.int32),                    # dim base (1d)
-        jnp.zeros((S,), jnp.int32),                    # dim base (2d)
+        jax.tree.map(lambda a: jnp.zeros((STACK_N,) + a.shape, a.dtype), ray),
+        jnp.zeros((STACK_N,) + bs + (3,), jnp.float32),   # throughput
+        jnp.zeros((STACK_N,) + bs, bool),                 # live
+        jnp.zeros((STACK_N,), jnp.int32),                 # depth
+        jnp.zeros((STACK_N,), jnp.int32),                 # dim base (1d)
+        jnp.zeros((STACK_N,), jnp.int32),                 # dim base (2d)
     )
+    # per-node static dim consumption, captured when while_loop traces the
+    # body's python exactly once (used to advance the caller's allocator)
+    node_dims = [0, 0]
 
     def write(stack, sp, ray_e, wgt, live, depth, b1, b2):
         sr, sw, sl, sd, s1, s2 = stack
@@ -253,6 +256,7 @@ def _trace_specular_stack(ctx, mat_set, ray, lanes, sampler, dims, max_depth,
         sp1 = sp - 1
         ray_e, wgt, live, depth, b1, b2 = read(stack, sp1)
         Lloc, si_s, lobes, alive, c1, c2 = node(ray_e, live, b1, b2)
+        node_dims[0], node_dims[1] = c1, c2
         Lacc = Lacc + wgt * Lloc
         nexec = nexec + 1
         sp = sp1
@@ -301,6 +305,12 @@ def _trace_specular_stack(ctx, mat_set, ray, lanes, sampler, dims, max_depth,
         for k, v in body_tape.items():
             if isinstance(v, (int, float)):
                 S.device_count(k, v * nexec)
+    # advance the caller's allocator past this tree's worst-case traced
+    # consumption (per-node count x full-tree node count), so dims a caller
+    # allocates afterwards can never collide with the tree's per-node dims
+    n_tree = (1 << max_depth) - 1
+    dims.d1 += node_dims[0] * n_tree
+    dims.d2 += node_dims[1] * n_tree
     return Lacc
 
 
@@ -406,16 +416,30 @@ def sample_one_light(ctx, mat_set, si, lobes, sampler, lanes, dims):
                                     dims)
 
 
-def uniform_sample_all_lights(ctx, mat_set, si, lobes, sampler, lanes, dims):
-    """Loop all lights (integrator/mod.rs:145-184), one sample each."""
+def uniform_sample_all_lights(ctx, mat_set, si, lobes, sampler, lanes, dims,
+                              nsamples=None):
+    """Loop all lights (integrator/mod.rs:145-184): each light takes its
+    static per-light sample count (diffuse.rs:46-50 "samples"; default 1)
+    and contributes the AVERAGE of those samples (mod.rs:154-172); the sum
+    runs over lights. `nsamples` is a static tuple aligned with the light
+    table rows (None → one sample per light)."""
     lt = ctx.lights
     n = lt.n_lights
     total = jnp.zeros(si.t.shape + (3,), jnp.float32)
     for i in range(n):
+        ns = 1
+        if nsamples is not None and i < len(nsamples):
+            ns = max(1, int(nsamples[i]))
         lid = jnp.full(si.t.shape, i, jnp.int32)
-        u_light = sampler.get_2d(lanes.pixel_idx, lanes.sample_idx, dims.next_2d())
-        u_sc_lobe = sampler.get_1d(lanes.pixel_idx, lanes.sample_idx, dims.next_1d())
-        u_sc = sampler.get_2d(lanes.pixel_idx, lanes.sample_idx, dims.next_2d())
-        total = total + estimate_direct(ctx, mat_set, si, lobes, lid, u_light,
-                                        u_sc_lobe, u_sc)
+        acc = jnp.zeros(si.t.shape + (3,), jnp.float32)
+        for _ in range(ns):
+            u_light = sampler.get_2d(lanes.pixel_idx, lanes.sample_idx,
+                                     dims.next_2d())
+            u_sc_lobe = sampler.get_1d(lanes.pixel_idx, lanes.sample_idx,
+                                       dims.next_1d())
+            u_sc = sampler.get_2d(lanes.pixel_idx, lanes.sample_idx,
+                                  dims.next_2d())
+            acc = acc + estimate_direct(ctx, mat_set, si, lobes, lid,
+                                        u_light, u_sc_lobe, u_sc)
+        total = total + acc / float(ns)
     return total

@@ -18,12 +18,16 @@ class DirectLightingIntegrator:
     mat_set: object
     strategy: str = "all"      # "all" | "one"
     max_depth: int = 5
+    # static per-light sample counts aligned with the light-table rows
+    # (diffuse.rs:46-50 "samples"); () → one sample per light
+    light_nsamples: tuple = ()
 
     def li(self, ctx, ray, lanes, sampler, dims):
         def direct(si_s, lobes, dims):
             if self.strategy == "all":
                 return uniform_sample_all_lights(ctx, self.mat_set, si_s,
-                                                 lobes, sampler, lanes, dims)
+                                                 lobes, sampler, lanes, dims,
+                                                 self.light_nsamples or None)
             return uniform_sample_one_light(ctx, self.mat_set, si_s, lobes,
                                             sampler, lanes, dims)
 

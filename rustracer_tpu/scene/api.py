@@ -137,7 +137,7 @@ class QuadricRecord:
     o2w: Transform
     params: np.ndarray          # (4,)
     material: int
-    arealight_spec: Optional[tuple]   # (emit rgb, twosided) or None
+    arealight_spec: Optional[tuple]   # (emit rgb, twosided, nsamples) or None
     reverse: bool
 
 
@@ -405,9 +405,11 @@ class RealApi:
             l_emit = params.find_one_spectrum("L", (1, 1, 1))
             sc = params.find_one_spectrum("scale", (1, 1, 1))
             mapname = params.find_one_filename("mapname", "")
+            ns = params.find_one_int("nsamples",
+                                     params.find_one_int("samples", 1))
             self.render_options.infinite_lights.append(dict(
                 scale=tuple(l_emit * sc), mapname=mapname,
-                l2w=self.cur_transform.m.copy()))
+                l2w=self.cur_transform.m.copy(), nsamples=max(1, int(ns))))
         else:
             log.error("light type %r unknown (reference supports point/"
                       "distant/infinite + area)", name)
@@ -575,7 +577,10 @@ class RealApi:
         l_emit = ps.find_one_spectrum("L", (1, 1, 1))
         sc = ps.find_one_spectrum("scale", (1, 1, 1))
         two = ps.find_one_bool("twosided", False)
-        return (tuple(l_emit * sc), two)
+        # per-light sample count for UniformSampleAll (diffuse.rs:46-50
+        # parses "samples"; "nsamples" accepted as the PBRT alias)
+        ns = ps.find_one_int("nsamples", ps.find_one_int("samples", 1))
+        return (tuple(l_emit * sc), two, max(1, int(ns)))
 
     # --- materials ---
     def _current_material_id(self):

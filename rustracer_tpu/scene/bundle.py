@@ -131,9 +131,9 @@ def _emit_geometry(api):
     # quadric area lights
     for i, r in enumerate(ro.quadrics):
         if r.arealight_spec is not None:
-            emit, two = r.arealight_spec
+            emit, two, nsamp = r.arealight_spec
             light_rows.append(dict(type=LIGHT_AREA, pos=(0, 0, 0), emit=emit,
-                                   prim=i, twosided=two))
+                                   prim=i, twosided=two, nsamples=nsamp))
             q_al.append(len(light_rows) - 1)
         else:
             q_al.append(-1)
@@ -182,13 +182,14 @@ def _emit_geometry(api):
         t_alpha += [alpha_id(rec.alpha_tex)] * nt
         t_shadow_alpha += [alpha_id(rec.shadow_alpha_tex)] * nt
         if arealights and rec.arealight_spec is not None:
-            emit, two = rec.arealight_spec
+            emit, two, nsamp = rec.arealight_spec
             # one DiffuseAreaLight per triangle (api.rs:934-946 semantics)
             base_tri = sum(len(x) for x in idxs[:-1])
             for k in range(nt):
                 light_rows.append(dict(
                     type=LIGHT_AREA, pos=(0, 0, 0), emit=emit,
-                    prim=n_quad_slots + base_tri + k, twosided=two))
+                    prim=n_quad_slots + base_tri + k, twosided=two,
+                    nsamples=nsamp))
                 t_al.append(len(light_rows) - 1)
         else:
             t_al += [-1] * nt
@@ -401,9 +402,14 @@ def build_bundle(api) -> SceneBundle:
     elif iname == "directlighting":
         from ..integrators.direct import DirectLightingIntegrator
         strat = ip.find_one_string("strategy", "all")
+        # per-light static sample counts, aligned with the FINAL light-table
+        # row order (make_lights appends infinite-light rows after `rows`)
+        nsamp = tuple(r.get("nsamples", 1) for r in light_rows) + \
+            tuple(inf.get("nsamples", 1) for inf in ro.infinite_lights)
         integ = DirectLightingIntegrator(
             mat_set=ms, strategy="one" if strat == "one" else "all",
-            max_depth=ip.find_one_int("maxdepth", 5))
+            max_depth=ip.find_one_int("maxdepth", 5),
+            light_nsamples=nsamp if any(n > 1 for n in nsamp) else ())
     elif iname == "whitted":
         from ..integrators.whitted import WhittedIntegrator
         integ = WhittedIntegrator(mat_set=ms,

@@ -621,9 +621,13 @@ class MaterialSet:
         from .textures import ImageTexture, UVMapping2D
 
         def eligible(t):
+            # max_aniso must EQUAL the atlas's hardcoded 8.0 (atlas.py
+            # atlas_lookup_ewa): admitting e.g. maxanisotropy 2 would
+            # silently filter differently through the atlas than through
+            # the per-texture lookup_ewa path
             return (isinstance(t, ImageTexture)
                     and isinstance(t.mapping, UVMapping2D)
-                    and not t.trilinear and t.max_aniso <= 8.0
+                    and not t.trilinear and t.max_aniso == 8.0
                     and isinstance(t.scale, (int, float)))
 
         per_mat = [[t for t in vars(m).values() if eligible(t)]
@@ -714,24 +718,29 @@ class MaterialSet:
                                      slot_j[midc, s], si)
                     for s in range(S_)]
 
-        for mid in textured:
-            mat = self.materials[mid]
-            sel = si.material == mid
+        # try/finally: an exception mid-loop must not leak the tracer-bearing
+        # _atlas_cache entry into the shared scene dict (it would poison
+        # every subsequent trace with confusing leaked-tracer errors)
+        try:
+            for mid in textured:
+                mat = self.materials[mid]
+                sel = si.material == mid
+                if atlas_cache is not None:
+                    ctx.textures["_atlas_cache"] = (
+                        si.uv, {id(t): atlas_cache[s]
+                                for s, t in enumerate(per_mat_tex[mid])})
+                si_b = mat.apply_bump(si, ctx)
+                t_i, p_i, a_i = self._pad_rows(mat.lobe_rows(si_b, ctx), bs, M)
+                lt = jnp.where(sel[..., None], t_i, lt)
+                lp = jnp.where(sel[..., None, None], p_i, lp)
+                la = jnp.where(sel[..., None], a_i, la)
+                eta = jnp.where(sel, mat.eta_value(si_b, ctx), eta)
+                ns = jnp.where(sel[..., None], si_b.ns, ns)
+                ss = jnp.where(sel[..., None], si_b.ss, ss)
+                ts = jnp.where(sel[..., None], si_b.ts, ts)
+        finally:
             if atlas_cache is not None:
-                ctx.textures["_atlas_cache"] = (
-                    si.uv, {id(t): atlas_cache[s]
-                            for s, t in enumerate(per_mat_tex[mid])})
-            si_b = mat.apply_bump(si, ctx)
-            t_i, p_i, a_i = self._pad_rows(mat.lobe_rows(si_b, ctx), bs, M)
-            lt = jnp.where(sel[..., None], t_i, lt)
-            lp = jnp.where(sel[..., None, None], p_i, lp)
-            la = jnp.where(sel[..., None], a_i, la)
-            eta = jnp.where(sel, mat.eta_value(si_b, ctx), eta)
-            ns = jnp.where(sel[..., None], si_b.ns, ns)
-            ss = jnp.where(sel[..., None], si_b.ss, ss)
-            ts = jnp.where(sel[..., None], si_b.ts, ts)
-        if atlas_cache is not None:
-            ctx.textures.pop("_atlas_cache", None)
+                ctx.textures.pop("_atlas_cache", None)
         # lanes with no material (misses / lights-only prims): inactive
         la = la & (si.material >= 0)[..., None] & si.valid[..., None]
         si = si._replace(ns=ns, ss=ss, ts=ts)

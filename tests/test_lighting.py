@@ -148,3 +148,44 @@ class TestCornellBox:
         sel = (img_d[..., 0] > 0.01) & (img_d[..., 0] < 1.0)
         diff = np.abs(img_d[..., 0] - img_p[..., 0])[sel]
         assert np.median(diff) < 0.03
+
+
+class TestPerLightNSamples:
+    """UniformSampleAll honors per-light "samples"/"nsamples"
+    (diffuse.rs:46-50; integrator/mod.rs:154-172 averages that many
+    samples per light)."""
+
+    SCENE = """
+LookAt 0 1 -3  0 0.5 0  0 1 0
+Film "image" "integer xresolution" [16] "integer yresolution" [16]
+Camera "perspective" "float fov" [50]
+Sampler "02sequence" "integer pixelsamples" [%d]
+Integrator "directlighting" "integer maxdepth" [2]
+WorldBegin
+  AttributeBegin
+    AreaLightSource "diffuse" "rgb L" [8 8 8] %s
+    Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+      "point P" [-0.6 2 -0.6  0.6 2 -0.6  0.6 2 0.6  -0.6 2 0.6]
+  AttributeEnd
+  Material "matte" "rgb Kd" [0.6 0.6 0.6]
+  Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+    "point P" [-4 0 -4  4 0 -4  4 0 4  -4 0 4]
+WorldEnd
+"""
+
+    def test_parse_and_average(self):
+        from rustracer_tpu.scene.api import parse_scene_string
+        api4 = parse_scene_string(self.SCENE % (4, '"integer samples" [4]'))
+        integ = api4.scene.integrator
+        assert any(n == 4 for n in integ.light_nsamples)
+        img4 = np.asarray(api4.scene.render())
+
+        # reference: the plain one-sample estimator at 4x the pixel samples
+        api_ref = parse_scene_string(self.SCENE % (16, ""))
+        assert api_ref.scene.integrator.light_nsamples == ()
+        ref = np.asarray(api_ref.scene.render())
+
+        # both estimate the same integral; 4 light samples x 4 spp should
+        # land within a few percent of 1 sample x 16 spp on the lit floor
+        assert img4.mean() == pytest.approx(ref.mean(), rel=0.05)
+        assert np.abs(img4 - ref).mean() < 0.05 * max(ref.mean(), 1e-6)
