@@ -45,6 +45,66 @@ from .common import estimate_direct_light_side
 PATH_COMPACT_MIN_B = 1 << 16
 
 
+# --- gradient-friendly permutation compact/scatter -------------------------
+# The alive-first compaction is a permutation slice: sub = x[sel] with
+# sel = order[:H]. XLA's generic VJP for the gather is a scatter-ADD (it
+# cannot know sel is duplicate-free), and the VJP of full.at[sel].set(sub)
+# likewise scatters — both lower poorly on TPU and cost ~14% on fwd+bwd
+# (round-4 measurement that forced compact_interior off under grad). These
+# custom_vjps exploit the permutation structure: the transpose of "take by
+# sel" is "gather by the lane's rank, masked to the kept prefix", and the
+# transpose of "put at sel" is a mask + a gather — no scatter anywhere.
+# rank = argsort(order) (lane -> its position in the alive-first order).
+
+def _f0(a):
+    import numpy as _np
+    return _np.zeros(a.shape, jax.dtypes.float0)
+
+
+@jax.custom_vjp
+def perm_take(x, sel, rank):
+    """x[sel] for a permutation-prefix sel (= order[:H], duplicate-free)."""
+    return x[sel]
+
+
+def _perm_take_fwd(x, sel, rank):
+    return x[sel], (sel, rank)
+
+
+def _perm_take_bwd(res, g):
+    sel, rank = res
+    H = g.shape[0]
+    keep = rank < H
+    ct = jnp.where(keep.reshape(keep.shape + (1,) * (g.ndim - 1)),
+                   g[jnp.clip(rank, 0, H - 1)], 0.0)
+    return ct.astype(g.dtype), _f0(sel), _f0(rank)
+
+
+perm_take.defvjp(_perm_take_fwd, _perm_take_bwd)
+
+
+@jax.custom_vjp
+def perm_put(full, sub, sel, rank):
+    """full.at[sel].set(sub) for a permutation-prefix sel."""
+    return full.at[sel].set(sub)
+
+
+def _perm_put_fwd(full, sub, sel, rank):
+    return full.at[sel].set(sub), (sel, rank)
+
+
+def _perm_put_bwd(res, g):
+    sel, rank = res
+    H = sel.shape[0]
+    kept = (rank < H).reshape(rank.shape + (1,) * (g.ndim - 1))
+    ct_full = jnp.where(kept, 0.0, g).astype(g.dtype)
+    ct_sub = g[sel]
+    return ct_full, ct_sub, _f0(sel), _f0(rank)
+
+
+perm_put.defvjp(_perm_put_fwd, _perm_put_bwd)
+
+
 class _PathState(NamedTuple):
     ray_o: jnp.ndarray       # (B, 3)
     ray_d: jnp.ndarray       # (B, 3)
@@ -303,6 +363,7 @@ class PathIntegrator:
                 H = B0 // 2
                 order = jnp.argsort(~st.alive)          # alive-first, stable
                 sel = order[:H]
+                rank = jnp.argsort(order)               # lane -> position
                 n_alive = jnp.sum(st.alive.astype(jnp.int32))
                 obs_pre = st.obs
                 st_z = st._replace(obs=jnp.zeros(2, jnp.int32))
@@ -311,15 +372,28 @@ class PathIntegrator:
                     return hasattr(x, "ndim") and x.ndim >= 1 \
                         and x.shape[0] == B0
 
+                def take(x):
+                    # custom-vjp take for float state (its transpose is a
+                    # masked gather, not a scatter-add); plain gather for
+                    # int/bool lanes (no cotangents flow through them)
+                    if jnp.issubdtype(x.dtype, jnp.floating):
+                        return perm_take(x, sel, rank)
+                    return x[sel]
+
+                def put(full, s_):
+                    if jnp.issubdtype(full.dtype, jnp.floating):
+                        return perm_put(full, s_, sel, rank)
+                    return full.at[sel].set(s_)
+
                 def compact_branch(st_in):
                     sub = jax.tree.map(
-                        lambda x: x[sel] if is_lane(x) else x, st_in)
+                        lambda x: take(x) if is_lane(x) else x, st_in)
                     lanes_sub = type(lanes)(
                         pixel_idx=lanes.pixel_idx[sel],
                         sample_idx=lanes.sample_idx[sel])
                     sub = scan_bounces(sub, lanes_sub)
                     return jax.tree.map(
-                        lambda full, s_: full.at[sel].set(s_)
+                        lambda full, s_: put(full, s_)
                         if is_lane(full) else s_, st_in, sub)
 
                 def full_branch(st_in):

@@ -165,16 +165,28 @@ def make_sharded_train_step(li_fn, camera, film: Film, sampler: SamplerConfig,
     # with the correct scaling. Hand-psum'ing per-device grads inside the
     # shard_map double-counts the film psum's transpose under
     # check_vma=False (caught by tests/test_mesh.py 1-vs-N parity).
-    def loss_fn(textures, ctx, target, px, py, valid, sample_lo):
-        fs = render(ctx._replace(textures=textures), px, py, valid,
-                    sample_lo)
-        img = film.to_image(fs)
-        return jnp.mean((img - target) ** 2)
-
+    # Only FLOAT leaves of ctx.textures are trainable: atlas metadata
+    # (atlas_meta/atlas_levels int32 offset tables) rides along untouched
+    # (jax.grad rejects integer inputs).
     def step(ctx, target, px, py, valid, sample_lo):
-        loss, grads = jax.value_and_grad(loss_fn)(
-            ctx.textures, ctx, target, px, py, valid, sample_lo)
-        new_tex = jax.tree.map(lambda p, g: p - lr * g, ctx.textures, grads)
-        return ctx._replace(textures=new_tex), loss
+        leaves, treedef = jax.tree.flatten(ctx.textures)
+        is_f = [jnp.issubdtype(jnp.result_type(l), jnp.floating)
+                for l in leaves]
+
+        def merge(theta):
+            it = iter(theta)
+            return treedef.unflatten(
+                [next(it) if b else l for l, b in zip(leaves, is_f)])
+
+        def loss_fn(theta):
+            fs = render(ctx._replace(textures=merge(theta)), px, py, valid,
+                        sample_lo)
+            img = film.to_image(fs)
+            return jnp.mean((img - target) ** 2)
+
+        theta0 = [l for l, b in zip(leaves, is_f) if b]
+        loss, grads = jax.value_and_grad(loss_fn)(theta0)
+        new_theta = [p - lr * g for p, g in zip(theta0, grads)]
+        return ctx._replace(textures=merge(new_theta)), loss
 
     return jax.jit(step)

@@ -27,7 +27,7 @@ SPP = 4
 MAX_DEPTH = 3  # no Russian roulette below bounce 4 → fully detached sampling
 
 
-def _setup(image_floor=False):
+def _setup(image_floor=False, atlas=False):
     geom, lights = cornell_box()
     ms = MaterialSet()
     const = {}
@@ -36,16 +36,23 @@ def _setup(image_floor=False):
         const[f"kd{i}"] = jnp.asarray(a, jnp.float32)
     images = []
     if image_floor:
-        # 4x4 gray image on material 0 (walls/floor/ceiling)
+        # 4x4 gray image on material 0 (walls/floor/ceiling); atlas=True
+        # routes it through the shared-atlas EWA path (atlas_meta in ctx +
+        # eligible default ImageTexture) instead of the per-texture lookup
         img = np.full((4, 4, 3), 0.6, np.float32)
         images.append([jnp.asarray(lv) for lv in build_pyramid(img)])
-        ms.add(MatteMaterial(kd=ImageTexture(0, trilinear=True)))
+        ms.add(MatteMaterial(kd=ImageTexture(0, trilinear=not atlas)))
     else:
         ms.add(MatteMaterial(kd=ConstantTexture("kd0")))
     for i in (1, 2, 3):
         ms.add(MatteMaterial(kd=ConstantTexture(f"kd{i}")))
-    ctx = RenderContext(geom=geom, lights=lights,
-                        textures={"const": const, "images": images})
+    textures = {"const": const, "images": images}
+    if atlas:
+        from rustracer_tpu.scene.atlas import build_atlas_meta
+        am = build_atlas_meta(images)
+        textures["atlas_meta"] = am["atlas_meta"]
+        textures["atlas_levels"] = am["atlas_levels"]
+    ctx = RenderContext(geom=geom, lights=lights, textures=textures)
     cam = cornell_camera(RES)
     sampler = SamplerConfig(kind="02sequence", spp=SPP)
     integ = PathIntegrator(mat_set=ms, max_depth=MAX_DEPTH)
@@ -160,6 +167,38 @@ class TestGradVsFiniteDifference:
         assert np.all(np.isfinite(g))
         assert g.sum() > 0
         # FD on the brightest-gradient texel
+        flat = np.abs(g).sum(-1)
+        ti, tj = np.unravel_index(np.argmax(flat), flat.shape)
+        eps = 5e-3
+
+        def set_v(ctx_, v):
+            lv0 = jnp.asarray(pyr0[0]).at[ti, tj, 0].set(v)
+            images = [[lv0] + [jnp.asarray(l) for l in pyr0[1:]]]
+            return ctx_._replace(textures={**ctx_.textures, "images": images})
+
+        fd = _fd(loss, ctx, set_v, float(pyr0[0][ti, tj, 0]), eps)
+        assert g[ti, tj, 0] == pytest.approx(fd, rel=2e-2, abs=1e-6)
+
+    @pytest.mark.slow
+    def test_atlas_texel(self):
+        """d loss / d (mip level-0 texel) THROUGH the shared-atlas EWA
+        path (atlas_lookup_ewa + atlas_texels concat), vs central FD —
+        round-4 blind spot: the atlas had forward-parity coverage only."""
+        ctx, cam, sampler, integ = _setup(image_floor=True, atlas=True)
+        # sanity: the material set must actually take the atlas fast path
+        S_, slot_tab, regs, _ = integ.mat_set.atlas_prep()
+        assert S_ == 1 and regs is not None
+        loss = _make_loss(ctx, cam, sampler, integ)
+        pyr0 = [np.asarray(lv) for lv in ctx.textures["images"][0]]
+
+        def loss_of_level0(level0):
+            images = [[level0] + list(ctx.textures["images"][0][1:])]
+            return loss(ctx._replace(textures={**ctx.textures,
+                                               "images": images}))
+
+        g = np.asarray(jax.grad(loss_of_level0)(ctx.textures["images"][0][0]))
+        assert np.all(np.isfinite(g))
+        assert g.sum() > 0
         flat = np.abs(g).sum(-1)
         ti, tj = np.unravel_index(np.argmax(flat), flat.shape)
         eps = 5e-3

@@ -31,16 +31,36 @@ SPP = 2
 DEPTH = 3
 
 
-def _setup():
+def _setup(imagemaps=False):
+    """imagemaps=True swaps the red/green wall materials for IMAGEMAP
+    mattes served through the shared mip atlas (atlas_meta in ctx), so the
+    sharded render/grads exercise the atlas concat + per-slot EWA lookup
+    under shard_map (round-4 blind spot: the sharded tests only ever ran
+    constant textures)."""
     geom, lights = cornell_box()
     ms = MaterialSet()
     const = {}
+    images = []
     for i, a in enumerate([[0.73] * 3, [0.63, 0.065, 0.05],
                            [0.14, 0.45, 0.09], [0.0] * 3]):
         const[f"kd{i}"] = jnp.asarray(a, jnp.float32)
-        ms.add(MatteMaterial(kd=ConstantTexture(f"kd{i}")))
-    ctx = RenderContext(geom=geom, lights=lights,
-                        textures={"const": const, "images": []})
+        if imagemaps and i in (1, 2):
+            from rustracer_tpu.ops.mipmap import build_pyramid
+            from rustracer_tpu.scene.textures import ImageTexture
+            rng = np.random.RandomState(10 + i)
+            img = (np.asarray(a, np.float32)[None, None]
+                   * (0.6 + 0.4 * rng.rand(8, 8, 3))).astype(np.float32)
+            images.append([jnp.asarray(lv) for lv in build_pyramid(img)])
+            ms.add(MatteMaterial(kd=ImageTexture(len(images) - 1)))
+        else:
+            ms.add(MatteMaterial(kd=ConstantTexture(f"kd{i}")))
+    textures = {"const": const, "images": images}
+    if imagemaps:
+        from rustracer_tpu.scene.atlas import build_atlas_meta
+        am = build_atlas_meta(images)
+        textures["atlas_meta"] = am["atlas_meta"]
+        textures["atlas_levels"] = am["atlas_levels"]
+    ctx = RenderContext(geom=geom, lights=lights, textures=textures)
     cam = cornell_camera(RES)
     film = Film(full_resolution=RES, filter=Filter("box", 0.5, 0.5))
     sampler = SamplerConfig(kind="02sequence", spp=SPP)
@@ -48,11 +68,14 @@ def _setup():
     return ctx, cam, film, sampler, integ
 
 
-def test_render_sharded_matches_single_device():
+@pytest.mark.parametrize("imagemaps", [False, True],
+                         ids=["const", "atlas-imagemaps"])
+def test_render_sharded_matches_single_device(imagemaps):
     """Same image from the single-device Renderer and an 8-device
-    (data=4, sample=2) shard_map render."""
+    (data=4, sample=2) shard_map render — with constant textures and with
+    atlas-served imagemap materials (the atlas concat under shard_map)."""
     assert len(jax.devices()) >= 8, "conftest must force 8 virtual devices"
-    ctx, cam, film, sampler, integ = _setup()
+    ctx, cam, film, sampler, integ = _setup(imagemaps)
 
     single = Renderer(integ.li, cam, film, sampler,
                       RenderConfig(collect_stats=False)).render(ctx)
@@ -67,12 +90,15 @@ def test_render_sharded_matches_single_device():
 
 
 @pytest.mark.slow
-def test_sharded_grads_match_single_device():
+@pytest.mark.parametrize("imagemaps", [False, True],
+                         ids=["const", "atlas-imagemaps"])
+def test_sharded_grads_match_single_device(imagemaps):
     """make_sharded_train_step's psum'd gradients == single-device
     value_and_grad of the identical loss (the §5.8 gradient-reduction
-    backend contract)."""
+    backend contract). The imagemap variant pushes TEXEL gradients through
+    the atlas concat under shard_map (psum'd texture grads)."""
     assert len(jax.devices()) >= 8
-    ctx, cam, film, sampler, integ = _setup()
+    ctx, cam, film, sampler, integ = _setup(imagemaps)
     mesh = make_device_mesh(data=4, sample=2)
     n_sample = mesh.shape["sample"]
 
@@ -86,9 +112,14 @@ def test_sharded_grads_match_single_device():
     py = np.concatenate([py, np.full(pad, y0, np.int32)])
     px, py, valid = jnp.asarray(px), jnp.asarray(py), jnp.asarray(valid)
 
-    # reference: single-device loss over the SAME lanes and sample ids
+    # reference: single-device loss over the SAME lanes and sample ids.
+    # Differentiate only the FLOAT leaves (atlas_meta/levels are int32).
+    aux = {k: v for k, v in ctx.textures.items()
+           if k in ("atlas_meta", "atlas_levels")}
+    tex_f = {k: v for k, v in ctx.textures.items() if k not in aux}
+
     def single_loss(textures, target):
-        c = ctx._replace(textures=textures)
+        c = ctx._replace(textures={**textures, **aux})
         fs = film.init_state()
         xr, _ = film.full_resolution
         for s in range(n_sample):
@@ -110,12 +141,12 @@ def test_sharded_grads_match_single_device():
 
     target = jnp.zeros(RES[::-1] + (3,), jnp.float32)
     lr = 0.25
-    loss_1, grads_1 = jax.value_and_grad(single_loss)(ctx.textures, target)
+    loss_1, grads_1 = jax.value_and_grad(single_loss)(tex_f, target)
 
     train = make_sharded_train_step(integ.li, cam, film, sampler, mesh, lr=lr)
     new_ctx, loss_n = train(ctx, target, px, py, valid, jnp.uint32(0))
-    grads_n = jax.tree.map(lambda p, q: (p - q) / lr,
-                           ctx.textures, new_ctx.textures)
+    new_f = {k: v for k, v in new_ctx.textures.items() if k not in aux}
+    grads_n = jax.tree.map(lambda p, q: (p - q) / lr, tex_f, new_f)
 
     np.testing.assert_allclose(float(loss_1), float(loss_n),
                                rtol=2e-5, atol=1e-8)

@@ -54,3 +54,92 @@ def test_compacted_scan_matches_full_width(monkeypatch):
     # estimator itself is identical
     np.testing.assert_allclose(img_c, img_f, rtol=2e-5, atol=2e-6)
     assert np.isfinite(img_c).all() and img_c.mean() > 1e-3
+
+
+class TestPermTakePutVJP:
+    """perm_take/perm_put (custom_vjp permutation compact) must match the
+    plain gather/scatter in value AND gradient."""
+
+    def test_matches_plain_gather_scatter(self):
+        rng = np.random.RandomState(3)
+        B, H = 64, 32
+        x = jnp.asarray(rng.rand(B, 3).astype(np.float32))
+        full = jnp.asarray(rng.rand(B, 3).astype(np.float32))
+        alive = jnp.asarray(rng.rand(B) < 0.4)
+        order = jnp.argsort(~alive)
+        sel = order[:H]
+        rank = jnp.argsort(order)
+
+        def f_custom(x, full):
+            sub = P.perm_take(x, sel, rank)
+            out = P.perm_put(full, sub * 2.0, sel, rank)
+            return jnp.sum(out ** 2) + jnp.sum(sub ** 3)
+
+        def f_plain(x, full):
+            sub = x[sel]
+            out = full.at[sel].set(sub * 2.0)
+            return jnp.sum(out ** 2) + jnp.sum(sub ** 3)
+
+        v1, (gx1, gf1) = jax.value_and_grad(f_custom, argnums=(0, 1))(x, full)
+        v2, (gx2, gf2) = jax.value_and_grad(f_plain, argnums=(0, 1))(x, full)
+        np.testing.assert_allclose(v1, v2, rtol=1e-6)
+        np.testing.assert_allclose(gx1, gx2, rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(gf1, gf2, rtol=1e-6, atol=1e-7)
+
+
+def test_compacted_scan_gradient_matches_full_width(monkeypatch):
+    """value_and_grad parity with the compact branch actually executing:
+    an open scene (most camera rays miss) at a patched-down threshold."""
+    from rustracer_tpu.integrators.path import PathIntegrator
+    from rustracer_tpu.render.renderer import Lanes, RenderContext, \
+        scrub_radiance
+    from rustracer_tpu.render.sampler import DimAllocator, SamplerConfig
+    from rustracer_tpu.scene.materials import MaterialSet, MatteMaterial
+    from rustracer_tpu.scene.textures import ConstantTexture
+    from helpers import TriBuilder
+    from rustracer_tpu.scene.tables import make_geometry
+    from rustracer_tpu.scene.lights import LIGHT_POINT, make_lights
+
+    res = 64
+    # floor quad only: camera at y=2 looking down-forward, ~half the rays
+    # escape -> >= B/2 lanes dead after bounce 0
+    tb = TriBuilder()
+    tb.add_quad([-2, 0, 2], [2, 0, 2], [2, 0, -2], [-2, 0, -2], material=0)
+    geom = make_geometry(None, tb.build())
+    lights = make_lights([dict(type=LIGHT_POINT, pos=(1, 3, 1),
+                               emit=(30, 30, 30), prim=-1)])
+    ms = MaterialSet()
+    ms.add(MatteMaterial(kd=ConstantTexture("kd")))
+    cam = PerspectiveCamera.create(
+        Transform.look_at([0, 2.0, -3.5], [0, 0, 0.5], [0, 1, 0]),
+        fov=60.0, resolution=(res, res))
+    sampler = SamplerConfig(kind="02sequence", spp=1)
+    integ = PathIntegrator(mat_set=ms, max_depth=4)
+
+    xs, ys = np.meshgrid(np.arange(res, dtype=np.int32),
+                         np.arange(res, dtype=np.int32))
+    pixel_idx = jnp.asarray((ys * res + xs).ravel().astype(np.uint32))
+    pixel_xy = jnp.asarray(
+        np.stack([xs.ravel(), ys.ravel()], -1).astype(np.float32))
+
+    def loss(kd):
+        ctx = RenderContext(geom=geom, lights=lights,
+                            textures={"const": {"kd": kd}, "images": []})
+        lanes = Lanes(pixel_idx=pixel_idx,
+                      sample_idx=jnp.zeros_like(pixel_idx))
+        p_film, p_lens, _ = sampler.get_camera_sample(
+            pixel_xy, lanes.pixel_idx, lanes.sample_idx)
+        ray = cam.generate_ray_differential(p_film, p_lens)
+        L = scrub_radiance(integ.li(ctx, ray, lanes, sampler,
+                                    DimAllocator()))
+        return jnp.mean(L)
+
+    kd0 = jnp.asarray([0.55, 0.4, 0.3], jnp.float32)
+    monkeypatch.setattr(P, "PATH_COMPACT_MIN_B", 256)   # compact ON
+    v_c, g_c = jax.value_and_grad(loss)(kd0)
+    monkeypatch.setattr(P, "PATH_COMPACT_MIN_B", 1 << 30)  # full width
+    v_f, g_f = jax.value_and_grad(loss)(kd0)
+    np.testing.assert_allclose(np.asarray(v_c), np.asarray(v_f), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_f),
+                               rtol=2e-5, atol=1e-7)
+    assert float(jnp.abs(jnp.asarray(g_c)).sum()) > 1e-4

@@ -62,10 +62,17 @@ def main():
     dt = timed(t16._traverse16)
     print(f"plain                : {dt*1e3:8.1f} ms  {B/dt/1e6:6.2f} Mray/s",
           flush=True)
-    for lA, S, frac in [(14, 16, 1 << 20), (14, 8, 1 << 20),
-                        (13, 16, 1 << 20), (13, 8, 1 << 20),
-                        (14, 16, 4), (13, 8, 4), (13, 16, 4),
-                        (14, 32, 1 << 20)]:
+    cfgs = [(13, 8, 4),                      # round-4 production point
+            (13, 4, 4), (13, 2, 4),          # eager refill (round-5: the
+            (13, 2, 8), (13, 2, 16),         # step cost is gather-latency-
+            (13, 1, 16), (13, 4, 8),         # bound; idle done lanes are
+            (14, 2, 8), (14, 4, 8)]          # the remaining waste)
+    if len(sys.argv) > 2:                    # legacy full sweep
+        cfgs = [(14, 16, 1 << 20), (14, 8, 1 << 20),
+                (13, 16, 1 << 20), (13, 8, 1 << 20),
+                (14, 16, 4), (13, 8, 4), (13, 16, 4),
+                (14, 32, 1 << 20)]
+    for lA, S, frac in cfgs:
         t16.REGEN_ACTIVE = 1 << lA
         t16.REGEN_STEPS = S
         t16.REGEN_REFILL_FRAC = frac
