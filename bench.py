@@ -66,9 +66,12 @@ def build_cornell():
     return ctx, cam, film, sampler, integ
 
 
-def build_dragon():
-    """Config 4 stand-in: 327k-tri bumpy sphere on a ground plane under an
-    area light (the real dragon/ganesha PLYs are not fetchable offline)."""
+def build_dragon(sub=7, res=None, spp=None, ply_roundtrip=True):
+    """Config 4 stand-in: 327k-tri bumpy sphere (sub=8 → 1.31M tris) on a
+    ground plane under an area light (the real dragon/ganesha PLYs are not
+    fetchable offline). The hero mesh carries an IMAGEMAP material through
+    the shared atlas so the headline number includes per-bounce EWA
+    texture filtering, like a real scanned-asset scene would."""
     import numpy as np
     import jax.numpy as jnp
     from rustracer_tpu.utils.meshgen import bumpy_sphere
@@ -81,18 +84,21 @@ def build_dragon():
     from rustracer_tpu.render.sampler import SamplerConfig
     from rustracer_tpu.scene.lights import make_lights, LIGHT_AREA
     from rustracer_tpu.scene.materials import MaterialSet, MatteMaterial
-    from rustracer_tpu.scene.textures import ConstantTexture
+    from rustracer_tpu.scene.textures import ConstantTexture, ImageTexture
     from rustracer_tpu.integrators.path import PathIntegrator
 
-    mv, mn, mf = bumpy_sphere(subdivisions=7, radius=1.0)  # 327,680 tris
-    # roundtrip through the PLY exporter/loader so the loader is exercised
-    # at benchmark scale (the real dragon/ganesha PLYs are not fetchable)
-    from rustracer_tpu.utils.plyio import read_ply, write_ply
-    ply_path = "/tmp/bench_dragon.ply"
-    write_ply(ply_path, mv, mf, n=mn)
-    t0 = time.perf_counter()
-    mv, mn, _, mf = read_ply(ply_path)
-    log(f"PLY load: {mf.shape[0]} tris in {time.perf_counter()-t0:.2f}s")
+    res = DRAGON_RES if res is None else res
+    spp = DRAGON_SPP if spp is None else spp
+    mv, mn, mf = bumpy_sphere(subdivisions=sub, radius=1.0)
+    if ply_roundtrip:
+        # roundtrip through the PLY exporter/loader so the loader is
+        # exercised at benchmark scale (real dragon PLYs not fetchable)
+        from rustracer_tpu.utils.plyio import read_ply, write_ply
+        ply_path = "/tmp/bench_dragon.ply"
+        write_ply(ply_path, mv, mf, n=mn)
+        t0 = time.perf_counter()
+        mv, mn, _, mf = read_ply(ply_path)
+        log(f"PLY load: {mf.shape[0]} tris in {time.perf_counter()-t0:.2f}s")
     n_mesh = mf.shape[0]
 
     # ground quad + light quad (2 tris each), appended after the mesh
@@ -109,7 +115,14 @@ def build_dragon():
 
     tv_p = np.concatenate([mv, extra_v])
     tv_n = np.concatenate([mn, np.zeros((8, 3), np.float32)])
-    tv_uv = np.zeros((tv_p.shape[0], 2), np.float32)
+    # spherical uv on the hero mesh (the seam stretch is irrelevant for a
+    # throughput bench; it feeds the atlas-EWA lookup with real gradients)
+    uv_mesh = np.stack(
+        [np.arctan2(mv[:, 2], mv[:, 0]) / (2 * np.pi) + 0.5,
+         np.arccos(np.clip(mv[:, 1] /
+                           np.maximum(np.linalg.norm(mv, axis=1), 1e-9),
+                           -1, 1)) / np.pi], -1).astype(np.float32)
+    tv_uv = np.concatenate([uv_mesh, np.zeros((8, 2), np.float32)])
     tv_s = np.zeros_like(tv_p)
     t_idx = np.concatenate([mf, extra_f])
     n_tris = t_idx.shape[0]
@@ -122,7 +135,7 @@ def build_dragon():
         t_material=t_material, t_arealight=t_arealight,
         t_reverse=np.zeros(n_tris, bool),
         t_has_n=np.concatenate([np.ones(n_mesh, bool), np.zeros(4, bool)]),
-        t_has_uv=np.zeros(n_tris, bool),
+        t_has_uv=np.concatenate([np.ones(n_mesh, bool), np.zeros(4, bool)]),
         t_alpha_tex=np.full(n_tris, -1, np.int32),
     )
     from rustracer_tpu.scene.tables import make_geometry
@@ -139,17 +152,28 @@ def build_dragon():
 
     ms = MaterialSet()
     const = {"kd_floor": jnp.asarray([0.6, 0.6, 0.6], jnp.float32),
-             "kd_dragon": jnp.asarray([0.55, 0.45, 0.35], jnp.float32),
              "kd_black": jnp.asarray([0.0, 0.0, 0.0], jnp.float32)}
+    # hero texture: 128^2 marbled albedo, mip pyramid, served via atlas
+    from rustracer_tpu.ops.mipmap import build_pyramid
+    from rustracer_tpu.scene.atlas import build_atlas_meta
+    yy, xx = np.mgrid[0:128, 0:128].astype(np.float32) / 128.0
+    tex = np.stack([0.45 + 0.25 * np.sin(14 * xx + 5 * np.sin(3 * yy)),
+                    0.40 + 0.15 * np.sin(11 * yy + 4 * np.sin(5 * xx)),
+                    0.32 + 0.10 * np.cos(9 * (xx + yy))], -1)
+    images = [[jnp.asarray(lv) for lv in
+               build_pyramid(tex.astype(np.float32))]]
+    am = build_atlas_meta(images)
     ms.add(MatteMaterial(kd=ConstantTexture("kd_floor")))
-    ms.add(MatteMaterial(kd=ConstantTexture("kd_dragon")))
+    ms.add(MatteMaterial(kd=ImageTexture(0)))        # textured dragon
     ms.add(MatteMaterial(kd=ConstantTexture("kd_black")))
     ctx = RenderContext(geom=geom, lights=lights,
-                        textures={"const": const, "images": []})
+                        textures={"const": const, "images": images,
+                                  "atlas_meta": am["atlas_meta"],
+                                  "atlas_levels": am["atlas_levels"]})
     c2w = Transform.look_at([0.0, 1.1, -3.4], [0.0, 0.0, 0.0], [0, 1, 0])
-    cam = PerspectiveCamera.create(c2w, fov=42.0, resolution=DRAGON_RES)
-    film = Film(full_resolution=DRAGON_RES, filter=Filter("box", 0.5, 0.5))
-    sampler = SamplerConfig(kind="02sequence", spp=DRAGON_SPP)
+    cam = PerspectiveCamera.create(c2w, fov=42.0, resolution=res)
+    film = Film(full_resolution=res, filter=Filter("box", 0.5, 0.5))
+    sampler = SamplerConfig(kind="02sequence", spp=spp)
     integ = PathIntegrator(mat_set=ms, max_depth=MAX_DEPTH)
     return ctx, cam, film, sampler, integ, n_tris
 
@@ -209,20 +233,23 @@ def bench_forward(ctx, cam, film, sampler, integ, res, spp, n_runs,
     return res[0] * res[1] * spp_measure / best
 
 
-def bench_cornell_fwdbwd(ctx, cam, film, sampler, integ, n_runs=3):
+def bench_cornell_fwdbwd(ctx, cam, film, sampler, integ, n_runs=3,
+                         remat=True, compact=False):
     """Forward+backward rays/s: value_and_grad of a full-render image loss
-    w.r.t. the material textures (BASELINE.json fwd+bwd metric)."""
+    w.r.t. the material textures (BASELINE.json fwd+bwd metric).
+
+    remat: jax.checkpoint around each sample's radiance (recompute the
+    bounce forward during backward instead of storing residuals).
+    compact: leave the integrator's inter-bounce compaction on (its
+    custom-vjp permutation transpose is round-5 work; swept by
+    tools/exp_fwdbwd.py — the winning combo is hardcoded below)."""
     import dataclasses
 
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    # inter-bounce compaction is a forward-render knob: its sort/cond/
-    # scatter transposes cost ~14% under value_and_grad (see
-    # integrators/path.py compact_interior) — differentiable rendering
-    # runs with it off, as a real user would
-    if getattr(integ, "compact_interior", False):
+    if getattr(integ, "compact_interior", False) and not compact:
         integ = dataclasses.replace(integ, compact_interior=False)
     from rustracer_tpu.render.renderer import Lanes, scrub_radiance
     from rustracer_tpu.render.sampler import DimAllocator
@@ -250,7 +277,8 @@ def bench_cornell_fwdbwd(ctx, cam, film, sampler, integ, n_runs=3):
         dims = DimAllocator()
         return scrub_radiance(integ.li(c, ray, lanes, sampler, dims))
 
-    sample_radiance = jax.checkpoint(sample_radiance)
+    if remat:
+        sample_radiance = jax.checkpoint(sample_radiance)
 
     def loss_fn(textures):
         def body(acc, s):
@@ -367,6 +395,26 @@ def main():
             log(f"bathroom config failed: {e!r}")
     else:
         log("skipping bathroom 1080p: budget spent")
+
+    # scale proof: 1.31M-tri hero mesh (subdiv 8), same scene structure,
+    # 512^2 @ 4spp measured slice. Runs last so a tight budget skips it
+    # rather than the headline configs; cache-warm runs take ~60s.
+    if left() > 60:
+        try:
+            log(f"building dragon-1M scene (subdiv 8) ... ({left():.0f}s left)")
+            d = build_dragon(sub=8, res=(512, 512), spp=8,
+                             ply_roundtrip=False)
+            ctx1m, cam1m, film1m, samp1m, integ1m, n_tris1m = d
+            log(f"dragon-1M built: {n_tris1m} tris ({left():.0f}s left)")
+            results["dragon1m_tris"] = int(n_tris1m)
+            results["dragon1m_fwd_rays_per_s"] = round(bench_forward(
+                ctx1m, cam1m, film1m, samp1m, integ1m, (512, 512), 8,
+                n_runs=2, max_lanes=1 << 18, spp_measure=4), 1)
+            emit()
+        except Exception as e:
+            log(f"dragon-1M config failed: {e!r}")
+    else:
+        log("skipping dragon-1M: budget spent")
 
     results["wall_s"] = round(time.time() - t_start, 1)
     emit()
