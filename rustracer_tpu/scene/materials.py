@@ -534,8 +534,21 @@ def _dummy_si(bs=(1,)):
 
 
 class _PermissiveConsts(dict):
-    """const-texture dict that yields zeros for unknown keys (structural
-    row counting only — never used for real shading)."""
+    """const-texture dict that yields a SCALAR zero for unknown keys
+    (structural row counting only — never used for real shading). A scalar
+    broadcasts to both the float-texture shape (bs,) and the spectrum
+    shape (bs, 3); the old (3,) default broke broadcasting for every
+    float texture (sigma/roughness/...), silently sending ALL materials
+    to the conservative 8-row fallback — the lobe stack then ran 8 wide
+    on scenes whose true maximum is 1-3 rows."""
+
+    def __missing__(self, key):
+        return jnp.zeros((), jnp.float32)
+
+
+class _PermissiveConsts3(dict):
+    """Fallback dummy for materials that require a trailing channel axis
+    on a const value (spectral array reads)."""
 
     def __missing__(self, key):
         return jnp.zeros(3, jnp.float32)
@@ -548,6 +561,10 @@ class _PermissiveImages(list):
 
 class _DummyCtx:
     textures = {"const": _PermissiveConsts(), "images": _PermissiveImages()}
+
+
+class _DummyCtx3:
+    textures = {"const": _PermissiveConsts3(), "images": _PermissiveImages()}
 
 
 def _is_uniform(m: Material) -> bool:
@@ -594,12 +611,14 @@ class MaterialSet:
     def _n_rows(m: Material) -> int:
         """Structural row count: evaluate lobe_rows on a dummy lane (row
         count depends only on material structure, never on texture data)."""
-        try:
-            return max(1, len(m.lobe_rows(_dummy_si(), _DummyCtx())))
-        except Exception:
-            if isinstance(m, MixMaterial):
-                return MaterialSet._n_rows(m.m1) + MaterialSet._n_rows(m.m2)
-            return 8  # conservative fallback
+        for ctx in (_DummyCtx(), _DummyCtx3()):
+            try:
+                return max(1, len(m.lobe_rows(_dummy_si(), ctx)))
+            except Exception:
+                continue
+        if isinstance(m, MixMaterial):
+            return MaterialSet._n_rows(m.m1) + MaterialSet._n_rows(m.m2)
+        return 8  # conservative fallback
 
     def types_present(self) -> Tuple[int, ...]:
         s = set()

@@ -35,7 +35,7 @@ AttributeEnd''')
 Film "image" "integer xresolution" [64] "integer yresolution" [48]
 LookAt 0 0 -6  0 0 0  0 1 0
 Camera "perspective" "float fov" [50]
-Sampler "02sequence" "integer pixelsamples" [4]
+Sampler "02sequence" "integer pixelsamples" [2]
 Integrator "path" "integer maxdepth" [3]
 WorldBegin
 LightSource "point" "point from" [0 2 -4] "rgb I" [40 40 40]

@@ -75,6 +75,7 @@ class TestCornellGolden:
         # global brightness in a sane band (regression canary)
         assert 0.05 < img.mean() < 1.0
 
+    @pytest.mark.slow
     def test_deterministic(self):
         """Stateless sampling ⇒ re-render is bit-identical."""
         api = parse_scene(os.path.join(REPO, "scenes", "cornell-box.pbrt"))
@@ -100,6 +101,7 @@ class TestMaterialTestballs:
     def test_matches_golden(self, name):
         assert_matches_golden(name)
 
+    @pytest.mark.slow
     def test_materials_differ(self):
         """Each material produces a distinct render of the same scene."""
         imgs = {n: render_scene(n) for n in

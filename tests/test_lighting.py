@@ -157,7 +157,7 @@ class TestPerLightNSamples:
 
     SCENE = """
 LookAt 0 1 -3  0 0.5 0  0 1 0
-Film "image" "integer xresolution" [16] "integer yresolution" [16]
+Film "image" "integer xresolution" [12] "integer yresolution" [12]
 Camera "perspective" "float fov" [50]
 Sampler "02sequence" "integer pixelsamples" [%d]
 Integrator "directlighting" "integer maxdepth" [2]

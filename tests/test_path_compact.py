@@ -6,6 +6,7 @@ them under alive masks)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rustracer_tpu.core.transform import Transform
 from rustracer_tpu.integrators import path as P
@@ -17,7 +18,7 @@ from rustracer_tpu.render.sampler import SamplerConfig
 from rustracer_tpu.scene.api import parse_scene_string
 
 SCENE = """
-Film "image" "integer xresolution" [256] "integer yresolution" [256]
+Film "image" "integer xresolution" [128] "integer yresolution" [128]
 LookAt 0 1.2 -4  0 0.4 0  0 1 0
 Camera "perspective" "float fov" [55]
 Sampler "02sequence" "integer pixelsamples" [1]
@@ -44,8 +45,10 @@ def _render():
 
 
 def test_compacted_scan_matches_full_width(monkeypatch):
-    # open scene at 256x256@1spp = exactly 2^16 lanes: most camera rays
-    # miss, so the compact branch is taken
+    # open scene at 128x128@1spp = 2^14 lanes with the threshold patched
+    # down: most camera rays miss, so the compact branch is taken (same
+    # cond/branch machinery as production, 4x cheaper than 256^2)
+    monkeypatch.setattr(P, "PATH_COMPACT_MIN_B", 1 << 14)
     img_c = _render()
     monkeypatch.setattr(P, "PATH_COMPACT_MIN_B", 1 << 30)   # force full
     img_f = _render()
@@ -87,6 +90,7 @@ class TestPermTakePutVJP:
         np.testing.assert_allclose(gf1, gf2, rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_compacted_scan_gradient_matches_full_width(monkeypatch):
     """value_and_grad parity with the compact branch actually executing:
     an open scene (most camera rays miss) at a patched-down threshold."""
