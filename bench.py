@@ -357,6 +357,10 @@ def main():
     except Exception as e:  # keep the remaining configs alive
         log(f"dragon config failed: {e!r}")
 
+    dragon_cfg = None
+    if "dragon_fwd_rays_per_s" in results:
+        dragon_cfg = (ctx, cam, film, sampler, integ)
+
     # config 2: Cornell forward
     ctx = None
     if left() > 60:
@@ -421,6 +425,35 @@ def main():
             log(f"dragon-1M config failed: {e!r}")
     else:
         log("skipping dragon-1M: budget spent")
+
+    # headline continuity: the SAME dragon geometry with the r04
+    # constant-matte hero material (no atlas/EWA), so the textured-vs-matte
+    # delta is measurable and the r02..r04 history stays apples-to-apples
+    if dragon_cfg is not None and left() > 60:
+        try:
+            import dataclasses as _dc
+            import jax.numpy as jnp
+            from rustracer_tpu.scene.materials import (MaterialSet,
+                                                       MatteMaterial)
+            from rustracer_tpu.scene.textures import ConstantTexture
+            dctx, dcam, dfilm, dsamp, dinteg = dragon_cfg
+            ms2 = MaterialSet()
+            ms2.add(MatteMaterial(kd=ConstantTexture("kd_floor")))
+            ms2.add(MatteMaterial(kd=ConstantTexture("kd_dragon")))
+            ms2.add(MatteMaterial(kd=ConstantTexture("kd_black")))
+            const2 = dict(dctx.textures["const"])
+            const2["kd_dragon"] = jnp.asarray([0.55, 0.45, 0.35], jnp.float32)
+            ctx2 = dctx._replace(textures={"const": const2, "images": []})
+            integ2 = _dc.replace(dinteg, mat_set=ms2)
+            log(f"dragon matte variant ... ({left():.0f}s left)")
+            results["dragon_matte_fwd_rays_per_s"] = round(bench_forward(
+                ctx2, dcam, dfilm, dsamp, integ2, DRAGON_RES, DRAGON_SPP,
+                n_runs=2, max_lanes=1 << 18, spp_measure=8), 1)
+            emit()
+        except Exception as e:
+            log(f"dragon matte variant failed: {e!r}")
+    else:
+        log("skipping dragon matte variant: budget spent")
 
     results["wall_s"] = round(time.time() - t_start, 1)
     emit()
