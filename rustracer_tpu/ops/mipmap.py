@@ -148,15 +148,20 @@ def lookup_ewa(pyramid, st, dst0, dst1, max_anisotropy=8.0, wrap=WRAP_REPEAT,
     major = jnp.where(major_is_0[..., None], dst0, dst1)
     # clamp anisotropy (scale the minor axis up, as the reference does)
     minor_len = jnp.maximum(minor_len, major_len / max_anisotropy)
-    # VECTORIZED tap axis (round 5): stacking the taps in a leading axis
-    # merges each level's per-tap texel gathers into one (n_taps, B)-index
-    # gather — bulk independent gathers run several times faster per index
-    # than many small ones on v5e (docs/PERF.md fact 3). Same taps/math.
-    a = (jnp.arange(n_taps, dtype=jnp.float32) + 0.5) / n_taps - 0.5
-    w = jnp.exp(-2.0 * (2.0 * a) ** 2) - float(np.exp(-2.0))
-    st_k = st[None] + a[:, None, None] * major[None]       # (T, B, 2)
-    v = lookup_trilinear(pyramid, st_k, minor_len, wrap, _count=False)
-    return jnp.sum(w[:, None, None] * v, axis=0) / jnp.sum(w)
+    # NOTE (round 5): a tap-axis vectorization (one (n_taps, B)-index
+    # gather per level) was measured SLOWER on chip via the atlas variant
+    # of the same restructure (textured dragon -12%; fusion loss beats the
+    # gather-merging win) — the scalar tap loop stays. See docs/PERF.md.
+    out = jnp.zeros(st.shape[:-1] + (pyramid[0].shape[-1],), pyramid[0].dtype)
+    wsum = 0.0
+    for i in range(n_taps):
+        a = (i + 0.5) / n_taps - 0.5          # position in (-0.5, 0.5)
+        r2 = (2.0 * a) ** 2                   # ellipse radius^2 in (0, 1)
+        w = float(np.exp(-2.0 * r2) - np.exp(-2.0))
+        out = out + w * lookup_trilinear(pyramid, st + a * major, minor_len,
+                                         wrap, _count=False)
+        wsum += w
+    return out / wsum
 
 
 def lookup_ewa_exact(pyramid, st, dst0, dst1, max_anisotropy=16.0,

@@ -158,18 +158,22 @@ def atlas_lookup_ewa(texels, meta, levels, regs, reg, si,
     l1 = jnp.minimum(l0 + 1, L - 1)
     dl = (level - l0)[..., None]
 
-    # VECTORIZED tap axis: stacking the n_taps sample points in a leading
-    # axis turns 8 taps x (2 levels x 4 bilerp corners) = 64 separate
-    # (B,)-row texel gathers into 8 gathers of (n_taps, B) indices each.
-    # Bulk independent gathers run several times faster per index than
-    # small ones on v5e (docs/PERF.md fact 3: ~380-500 M rows/s marginal
-    # vs 60-90 M for small chains) — the EWA share of a textured scene
-    # step drops accordingly. Same math, same taps, summation reordered.
-    a = (jnp.arange(n_taps, dtype=jnp.float32) + 0.5) / n_taps - 0.5
-    wgt = jnp.exp(-2.0 * (2.0 * a) ** 2) - float(np.exp(-2.0))
-    st_k = st[None] + a[:, None, None] * major[None]       # (T, B, 2)
-    v = (1.0 - dl) * _bilerp_at(texels, meta_j, wrap, img, l0, st_k) \
-        + dl * _bilerp_at(texels, meta_j, wrap, img, l1, st_k)
-    out = jnp.sum(wgt[:, None, None] * v, axis=0)
-    out = out / jnp.sum(wgt) * jnp.asarray(regs["reg_scale"])[r][..., None]
+    # NOTE (round 5): a tap-axis vectorization (stack the 8 taps into one
+    # (n_taps, B)-index gather per level/corner) was built and MEASURED
+    # SLOWER on chip: textured dragon 431k -> 378k rays/s (-12%) — the
+    # (T, B, 3) intermediates defeat XLA's fusion of the small per-tap
+    # gathers into the surrounding elementwise code. The scalar tap loop
+    # below is the measured-faster form; see docs/PERF.md.
+    out = jnp.zeros(st.shape[:-1] + (3,), jnp.float32)
+    wsum = 0.0
+    for i in range(n_taps):
+        a = (i + 0.5) / n_taps - 0.5
+        r2 = (2.0 * a) ** 2
+        wgt = float(np.exp(-2.0 * r2) - np.exp(-2.0))
+        st_k = st + a * major
+        v = (1.0 - dl) * _bilerp_at(texels, meta_j, wrap, img, l0, st_k) \
+            + dl * _bilerp_at(texels, meta_j, wrap, img, l1, st_k)
+        out = out + wgt * v
+        wsum += wgt
+    out = out / wsum * jnp.asarray(regs["reg_scale"])[r][..., None]
     return jnp.where((reg >= 0)[..., None], out, 0.0)
