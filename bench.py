@@ -144,9 +144,13 @@ def build_dragon(sub=7, res=None, spp=None, ply_roundtrip=True):
     # subdiv level — keyed on a content fingerprint so any mesh change
     # invalidates it. Keeps the driver's budgeted run inside BENCH_BUDGET_S.
     import hashlib
+    import rustracer_tpu.accel.bvh as _bvhmod
+    # the key includes the BUILDER source hash: a stale cache from an older
+    # build_bvh_arrays (changed packing/split logic) must never be reused
+    ver = hashlib.sha1(open(_bvhmod.__file__, "rb").read()).hexdigest()[:8]
     fp = hashlib.sha1(np.ascontiguousarray(tv_p[::257]).tobytes()
                       + t_idx[::257].tobytes()).hexdigest()[:16]
-    cache = f"/tmp/bench_bvh_{sub}_{n_tris}_{fp}.npz"
+    cache = f"/tmp/bench_bvh_{sub}_{n_tris}_{fp}_{ver}.npz"
     bvh = None
     if os.path.exists(cache):
         try:
@@ -453,7 +457,9 @@ def main():
     # headline continuity: the SAME dragon geometry with the r04
     # constant-matte hero material (no atlas/EWA), so the textured-vs-matte
     # delta is measurable and the r02..r04 history stays apples-to-apples
-    if dragon_cfg is not None and left() > 60:
+    if dragon_cfg is None:
+        log("skipping dragon matte variant: dragon config did not run")
+    elif left() > 60:
         try:
             import dataclasses as _dc
             import jax.numpy as jnp

@@ -103,3 +103,35 @@ def cornell_camera(res=(64, 64)):
     from rustracer_tpu.render.camera import PerspectiveCamera
     c2w = Transform.look_at([0.5, 0.5, -1.4], [0.5, 0.5, 0.5], [0, 1, 0])
     return PerspectiveCamera.create(c2w, fov=40.0, resolution=res)
+
+
+def cornell_imagemap_materials(seed_base=10, imagemap_walls=(1, 2)):
+    """Cornell material set + textures dict with the given wall material
+    ids served as ATLAS imagemaps (8x8 noisy pyramids) and the rest as
+    constant mattes. Shared by the shard_map parity tests and the
+    multichip gate so both exercise the identical atlas construction.
+    Returns (material_set, textures_dict)."""
+    from rustracer_tpu.ops.mipmap import build_pyramid
+    from rustracer_tpu.scene.atlas import build_atlas_meta
+    from rustracer_tpu.scene.materials import MaterialSet, MatteMaterial
+    from rustracer_tpu.scene.textures import ConstantTexture, ImageTexture
+
+    ms = MaterialSet()
+    const = {}
+    images = []
+    for i, a in enumerate([[0.73] * 3, [0.63, 0.065, 0.05],
+                           [0.14, 0.45, 0.09], [0.0] * 3]):
+        const[f"kd{i}"] = jnp.asarray(a, jnp.float32)
+        if i in imagemap_walls:
+            rng = np.random.RandomState(seed_base + i)
+            img = (np.asarray(a, np.float32)[None, None]
+                   * (0.6 + 0.4 * rng.rand(8, 8, 3))).astype(np.float32)
+            images.append([jnp.asarray(lv) for lv in build_pyramid(img)])
+            ms.add(MatteMaterial(kd=ImageTexture(len(images) - 1)))
+        else:
+            ms.add(MatteMaterial(kd=ConstantTexture(f"kd{i}")))
+    textures = {"const": const, "images": images}
+    am = build_atlas_meta(images)
+    textures["atlas_meta"] = am["atlas_meta"]
+    textures["atlas_levels"] = am["atlas_levels"]
+    return ms, textures

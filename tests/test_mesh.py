@@ -38,28 +38,17 @@ def _setup(imagemaps=False):
     under shard_map (round-4 blind spot: the sharded tests only ever ran
     constant textures)."""
     geom, lights = cornell_box()
-    ms = MaterialSet()
-    const = {}
-    images = []
-    for i, a in enumerate([[0.73] * 3, [0.63, 0.065, 0.05],
-                           [0.14, 0.45, 0.09], [0.0] * 3]):
-        const[f"kd{i}"] = jnp.asarray(a, jnp.float32)
-        if imagemaps and i in (1, 2):
-            from rustracer_tpu.ops.mipmap import build_pyramid
-            from rustracer_tpu.scene.textures import ImageTexture
-            rng = np.random.RandomState(10 + i)
-            img = (np.asarray(a, np.float32)[None, None]
-                   * (0.6 + 0.4 * rng.rand(8, 8, 3))).astype(np.float32)
-            images.append([jnp.asarray(lv) for lv in build_pyramid(img)])
-            ms.add(MatteMaterial(kd=ImageTexture(len(images) - 1)))
-        else:
-            ms.add(MatteMaterial(kd=ConstantTexture(f"kd{i}")))
-    textures = {"const": const, "images": images}
     if imagemaps:
-        from rustracer_tpu.scene.atlas import build_atlas_meta
-        am = build_atlas_meta(images)
-        textures["atlas_meta"] = am["atlas_meta"]
-        textures["atlas_levels"] = am["atlas_levels"]
+        from helpers import cornell_imagemap_materials
+        ms, textures = cornell_imagemap_materials(seed_base=10)
+    else:
+        ms = MaterialSet()
+        const = {}
+        for i, a in enumerate([[0.73] * 3, [0.63, 0.065, 0.05],
+                               [0.14, 0.45, 0.09], [0.0] * 3]):
+            const[f"kd{i}"] = jnp.asarray(a, jnp.float32)
+            ms.add(MatteMaterial(kd=ConstantTexture(f"kd{i}")))
+        textures = {"const": const, "images": []}
     ctx = RenderContext(geom=geom, lights=lights, textures=textures)
     cam = cornell_camera(RES)
     film = Film(full_resolution=RES, filter=Filter("box", 0.5, 0.5))

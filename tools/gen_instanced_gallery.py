@@ -123,7 +123,8 @@ def build(subdiv=6, res=(1024, 768), spp=16, grid=5):
 
 def main():
     subdiv = int(sys.argv[1]) if len(sys.argv) > 1 else 6
-    res = (1024, 768)
+    w = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+    res = (w, w * 3 // 4)
     spp = int(sys.argv[3]) if len(sys.argv) > 3 else 16
     ctx, cam, film, sampler, integ = build(subdiv, res, spp)
     r = Renderer(integ.li, cam, film, sampler,
