@@ -27,3 +27,21 @@ def test_dragon_light_faces_scene():
         assert ng[1] < -0.9, f"light tri {ti} normal {ng} faces away"
     # and the lights sit above both the mesh and the ground
     assert tv_p[t_idx[lights[0]]][:, 1].min() > 2.0
+
+
+def test_dragon_bvh_cache_roundtrip():
+    """The /tmp BVH bench cache must reproduce the built tables exactly
+    (a wrong cache would silently benchmark wrong geometry)."""
+    import glob
+    import bench
+    # small mesh for speed; ply_roundtrip off
+    ctx1, *_ = bench.build_dragon(sub=4, res=(32, 32), spp=1,
+                                  ply_roundtrip=False)
+    caches = glob.glob("/tmp/bench_bvh_4_*")
+    assert caches, "cache file not written"
+    ctx2, *_ = bench.build_dragon(sub=4, res=(32, 32), spp=1,
+                                  ply_roundtrip=False)   # cache hit
+    np.testing.assert_array_equal(np.asarray(ctx1.geom.bvh16_table),
+                                  np.asarray(ctx2.geom.bvh16_table))
+    np.testing.assert_array_equal(np.asarray(ctx1.geom.bvh16_roots),
+                                  np.asarray(ctx2.geom.bvh16_roots))
