@@ -130,12 +130,16 @@ class PathIntegrator:
     max_depth: int = 5
     rr_threshold: float = 1.0
     max_interface_skips: int = 8
-    # inter-bounce half-compaction (see _run): a FORWARD-render
-    # optimization (+5% dragon end-to-end). Under value_and_grad the
-    # sort/cond/gather-scatter transposes cost more than the halved scan
+    # inter-bounce tiered compaction (see _run): a FORWARD-render
+    # optimization (+5% dragon end-to-end for the half tier, +3.2% more
+    # from the quarter tier). Under value_and_grad the
+    # sort/cond/gather-scatter transposes cost more than the narrowed scan
     # saves (measured -14% on cornell fwd+bwd) — differentiable-rendering
     # callers should dataclasses.replace(integ, compact_interior=False).
     compact_interior: bool = True
+    # deepest compaction tier: 1 = B/2 slab only (the round-4 behavior),
+    # 2 = add a B/4 slab chosen when <= a quarter of the lanes are alive
+    compact_tiers: int = 2
 
     def li(self, ctx, ray, lanes, sampler, dims):
         return self._run(ctx, ray, lanes, sampler, dims)[0]
@@ -350,19 +354,32 @@ class PathIntegrator:
             B0 = st.alive.shape[0] if st.alive.ndim == 1 else 0
             if self.compact_interior and B0 >= PATH_COMPACT_MIN_B \
                     and B0 % 2 == 0:
-                # inter-bounce HALF-compaction: open scenes kill most lanes
-                # at bounce 0 (dragon hit fraction 0.295), yet every scanned
-                # bounce pays full-width shading/NEE VPU work. When at most
-                # half the lanes are alive, gather the path state alive-
-                # first into a static B/2 slab, scan THAT, and scatter
-                # back — the scan costs half. Dead lanes skipped this way
+                # inter-bounce TIERED compaction: open scenes kill most
+                # lanes at bounce 0, yet every scanned bounce pays
+                # full-width shading/NEE VPU work — measured 51% of the
+                # dragon step (tools/profile_dragon.py; alive fractions
+                # there decay 24.5% -> 3.6% -> 0.3% across bounces). The
+                # slab width is chosen ONCE, before the interior scan, by a
+                # runtime cond chain on the alive count: <= B/4 lanes
+                # alive runs the whole scan in a quarter slab, <= B/2 in a
+                # half slab, else full width. Dead lanes skipped this way
                 # are never read again (their L/path_len are final and the
                 # full-width body only ever updates them under alive
-                # masks), so results are identical; when more than half
-                # survive, the unchanged full-width scan runs instead.
+                # masks), so results are identical.
+                #
+                # Two variants measured and REJECTED on the dragon
+                # (interleaved A/B, docs/PERF.md round 5):
+                #  - re-compacting B/2 -> B/4 mid-scan (between bounces 1
+                #    and 2): the extra argsort + gather/scatter round trip
+                #    loses more than the narrower tail saves;
+                #  - moving the slab boundary BEFORE the bounce-0 scatter
+                #    (hit fraction is already ~0.25 there): -13% — the
+                #    cond boundary forces XLA to materialize the entire
+                #    camera SurfaceInteraction that otherwise fuses into
+                #    the scatter, and adds ~20 permutation gathers for it.
                 H = B0 // 2
+                Q = B0 // 4
                 order = jnp.argsort(~st.alive)          # alive-first, stable
-                sel = order[:H]
                 rank = jnp.argsort(order)               # lane -> position
                 n_alive = jnp.sum(st.alive.astype(jnp.int32))
                 obs_pre = st.obs
@@ -372,40 +389,55 @@ class PathIntegrator:
                     return hasattr(x, "ndim") and x.ndim >= 1 \
                         and x.shape[0] == B0
 
-                def take(x):
+                def take(x, sel_):
                     # custom-vjp take for float state (its transpose is a
                     # masked gather, not a scatter-add); plain gather for
                     # int/bool lanes (no cotangents flow through them)
                     if jnp.issubdtype(x.dtype, jnp.floating):
-                        return perm_take(x, sel, rank)
-                    return x[sel]
+                        return perm_take(x, sel_, rank)
+                    return x[sel_]
 
-                def put(full, s_):
+                def put(full, s_, sel_):
                     if jnp.issubdtype(full.dtype, jnp.floating):
-                        return perm_put(full, s_, sel, rank)
-                    return full.at[sel].set(s_)
+                        return perm_put(full, s_, sel_, rank)
+                    return full.at[sel_].set(s_)
 
-                def compact_branch(st_in):
-                    sub = jax.tree.map(
-                        lambda x: take(x) if is_lane(x) else x, st_in)
-                    lanes_sub = type(lanes)(
-                        pixel_idx=lanes.pixel_idx[sel],
-                        sample_idx=lanes.sample_idx[sel])
-                    sub = scan_bounces(sub, lanes_sub)
-                    return jax.tree.map(
-                        lambda full, s_: put(full, s_)
-                        if is_lane(full) else s_, st_in, sub)
+                def slab_branch(w):
+                    """Scan the interior bounces in an alive-first w-slab
+                    (perm_take/perm_put keep the transpose scatter-free)."""
+                    sel_ = order[:w]
+
+                    def branch(st_in):
+                        sub = jax.tree.map(
+                            lambda x: take(x, sel_) if is_lane(x) else x,
+                            st_in)
+                        lanes_sub = type(lanes)(
+                            pixel_idx=lanes.pixel_idx[sel_],
+                            sample_idx=lanes.sample_idx[sel_])
+                        sub = scan_bounces(sub, lanes_sub)
+                        return jax.tree.map(
+                            lambda full, s_: put(full, s_, sel_)
+                            if is_lane(full) else s_, st_in, sub)
+                    return branch
 
                 def full_branch(st_in):
                     return scan_bounces(st_in, lanes)
 
-                st = jax.lax.cond(n_alive <= H, compact_branch, full_branch,
-                                  st_z)
+                quarter_tier = self.compact_tiers >= 2 and B0 % 4 == 0
+                if quarter_tier:
+                    st = jax.lax.cond(
+                        n_alive <= Q, slab_branch(Q),
+                        lambda s: jax.lax.cond(n_alive <= H, slab_branch(H),
+                                               full_branch, s), st_z)
+                else:
+                    st = jax.lax.cond(n_alive <= H, slab_branch(H),
+                                      full_branch, st_z)
                 st = st._replace(obs=st.obs + obs_pre)
-                # BOTH branches were traced, so static python tape counts
-                # (texture lookups) were added at B and at B/2 widths;
-                # normalize to the full-width dispatch number (/1.5)
-                tape_scale = 1.0 / 1.5
+                # EVERY branch was traced, so static python tape counts
+                # (texture lookups per branch trace, proportional to lane
+                # width) were added at B + B/2 (+ B/4 with the quarter
+                # tier); normalize to the full-width dispatch number
+                tape_scale = 1.0 / 1.75 if quarter_tier else 1.0 / 1.5
             else:
                 st = scan_bounces(st, lanes)
                 tape_scale = 1.0

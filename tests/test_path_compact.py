@@ -59,6 +59,57 @@ def test_compacted_scan_matches_full_width(monkeypatch):
     assert np.isfinite(img_c).all() and img_c.mean() > 1e-3
 
 
+SPARSE_SCENE = """
+Film "image" "integer xresolution" [64] "integer yresolution" [64]
+LookAt 0 2.5 -4  0 0 0  0 1 0
+Camera "perspective" "float fov" [70]
+Sampler "02sequence" "integer pixelsamples" [1]
+Integrator "path" "integer maxdepth" [5]
+WorldBegin
+LightSource "point" "point from" [2 4 -2] "rgb I" [60 60 60]
+AttributeBegin
+  Material "matte" "rgb Kd" [0.6 0.5 0.4]
+  Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+    "point P" [-0.7 0 -0.7  0.7 0 -0.7  0.7 0 0.7  -0.7 0 0.7]
+AttributeEnd
+WorldEnd
+"""
+
+
+def test_quarter_tier_matches_full_width(monkeypatch):
+    """The nested B/4 tier (bounces 2..d-2 re-compacted within the B/2
+    slab) must execute AND match the full-width scan: a small floor quad
+    under a wide-fov camera keeps the camera hit fraction below 1/4, so
+    n_alive <= B/4 holds at bounce 1 entry and the qb branch is the one
+    that runs (alive counts only decay across bounces)."""
+    api = parse_scene_string(SPARSE_SCENE)
+    sc = api.scene
+    # guarantee the quarter branch is the executed one: camera hit
+    # fraction must be <= 1/4 of the wavefront
+    from rustracer_tpu.scene.tables import scene_intersect
+    from rustracer_tpu.render.renderer import Lanes
+    res = 64
+    xs, ys = np.meshgrid(np.arange(res, dtype=np.int32),
+                         np.arange(res, dtype=np.int32))
+    pixel_idx = jnp.asarray((ys * res + xs).ravel().astype(np.uint32))
+    pixel_xy = jnp.asarray(
+        np.stack([xs.ravel(), ys.ravel()], -1).astype(np.float32))
+    sampler = sc.sampler
+    p_film, p_lens, _ = sampler.get_camera_sample(
+        pixel_xy, pixel_idx, jnp.zeros_like(pixel_idx))
+    ray = sc.camera.generate_ray_differential(p_film, p_lens)
+    si = scene_intersect(sc.context().geom, ray)
+    frac = float(jnp.mean(si.valid.astype(jnp.float32)))
+    assert 0.0 < frac <= 0.25, f"scene no longer sparse: hit frac {frac}"
+
+    monkeypatch.setattr(P, "PATH_COMPACT_MIN_B", 1 << 12)
+    img_c = np.asarray(sc.render())
+    monkeypatch.setattr(P, "PATH_COMPACT_MIN_B", 1 << 30)   # force full
+    img_f = np.asarray(sc.render())
+    np.testing.assert_allclose(img_c, img_f, rtol=2e-5, atol=2e-6)
+    assert np.isfinite(img_c).all() and img_c.mean() > 1e-4
+
+
 class TestPermTakePutVJP:
     """perm_take/perm_put (custom_vjp permutation compact) must match the
     plain gather/scatter in value AND gradient."""
