@@ -176,7 +176,8 @@ def build_dragon(sub=7, res=None, spp=None, ply_roundtrip=True):
                  prim=nq + n_mesh + 2, twosided=False),
             dict(type=LIGHT_AREA, pos=(0, 0, 0), emit=emit,
                  prim=nq + n_mesh + 3, twosided=False)]
-    lights = make_lights(rows, world_center=(0, 0.5, 0), world_radius=20.0)
+    lights = make_lights(rows, world_center=(0, 0.5, 0), world_radius=20.0,
+                         geom=geom)
 
     ms = MaterialSet()
     const = {"kd_floor": jnp.asarray([0.6, 0.6, 0.6], jnp.float32),

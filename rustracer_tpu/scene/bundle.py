@@ -321,7 +321,7 @@ def build_bundle(api) -> SceneBundle:
         infinite.append(dict(map=inf_map, l2w=inf["l2w"],
                              scale=inf["scale"]))
     lights = make_lights(light_rows, world_center=center, world_radius=radius,
-                         infinite=infinite)
+                         infinite=infinite, geom=geom)
 
     # film / filter / camera / sampler (api.rs:181-260 factories)
     filt = make_filter(ro.filter_name, ro.filter_params)

@@ -45,10 +45,24 @@ class LightTables(NamedTuple):
     # signal that the BSDF-sampling side of MIS can be skipped entirely
     # (estimate_direct traces no ray when every light is a delta light)
     l_nondelta_rows: jnp.ndarray  # (A,) int32
+    # per-light precompute (make_lights(geom=...)): area-light prim areas
+    # and triangle vertices, so per-lane NEE never gathers the big mesh
+    # tables (a bulk gather costs ~1.1 ms / 2^18 indices on v5e regardless
+    # of the table; indexing these (L,...) tables is ~free). pre_flag is a
+    # shape-(1,) static signal; without geom the runtime fallback gathers
+    # the mesh tables as before.
+    l_area: jnp.ndarray       # (L,) f32 prim area (0 for non-area rows)
+    l_tri_p: jnp.ndarray      # (L, 3, 3) f32 tri vertices (world space)
+    l_tri_rev: jnp.ndarray    # (L,) bool tri reverse_orientation
+    pre_flag: jnp.ndarray     # shape (1,) when the precompute is present
 
     @property
     def n_lights(self):
         return self.l_type.shape[0]
+
+    @property
+    def has_pre(self):
+        return self.pre_flag.shape[0] > 0
 
     @property
     def all_delta(self):
@@ -69,10 +83,17 @@ class LightTables(NamedTuple):
 
 def make_lights(rows=None, world_center=(0, 0, 0), world_radius=100.0,
                 inf_map=None, inf_l2w=None, inf_scale=None,
-                infinite=None) -> LightTables:
+                infinite=None, geom=None) -> LightTables:
     """Host-side assembly. rows: list of dicts with keys
     (type, pos, emit, prim, twosided). `infinite`: list of dicts
-    (map, l2w, scale); the single-light kwargs remain as a convenience."""
+    (map, l2w, scale); the single-light kwargs remain as a convenience.
+
+    geom: optional GeometryTables — when given, area-light prim areas and
+    triangle vertices are precomputed into tiny per-light tables so
+    sample_li / pdf_li never gather the big mesh tables per lane (see
+    LightTables.l_area). Area lights on INSTANCED geometry are not
+    supported either way (the reference has no emissive instances; tv_p
+    rows for instanced objects are object-space)."""
     rows = list(rows or [])
     infinite = list(infinite or [])
     if inf_map is not None:
@@ -118,10 +139,43 @@ def make_lights(rows=None, world_center=(0, 0, 0), world_radius=100.0,
     inf_l2w_arr = np.stack(l2ws) if K else np.zeros((0, 4, 4), np.float32)
     inf_w2l_arr = np.stack(w2ls) if K else np.zeros((0, 4, 4), np.float32)
 
+    # per-light precompute from the geometry tables (host-side float32,
+    # replicating triangle_area's formula so pdfs match the fallback path)
+    L = len(rows)
+    l_area = np.zeros(L, np.float32)
+    l_tri_p = np.zeros((L, 3, 3), np.float32)
+    l_tri_rev = np.zeros(L, bool)
+    if geom is not None:
+        nq = int(geom.n_quadrics)
+        g_tidx = np.asarray(geom.t_idx)
+        g_tvp = np.asarray(geom.tv_p, dtype=np.float32)
+        g_trev = np.asarray(geom.t_reverse)
+        g_qtype = np.asarray(geom.q_type)
+        g_qparams = np.asarray(geom.q_params, dtype=np.float32)
+        for i, r in enumerate(rows):
+            prim = int(l_prim[i])
+            if r["type"] != LIGHT_AREA or prim < 0:
+                continue
+            if prim >= nq:
+                tid = prim - nq
+                pts = g_tvp[g_tidx[tid]]                       # (3, 3)
+                l_tri_p[i] = pts
+                l_tri_rev[i] = bool(g_trev[tid])
+                c = np.cross(pts[1] - pts[0], pts[2] - pts[0])
+                l_area[i] = np.float32(0.5) * np.float32(
+                    np.sqrt(np.float32(np.dot(c, c))))
+            else:
+                l_area[i] = float(quadric_area(
+                    jnp.asarray(g_qtype[prim]),
+                    jnp.asarray(g_qparams[prim])))
+
     return LightTables(
         l_type=jnp.asarray(l_type), l_pos=jnp.asarray(l_pos),
         l_emit=jnp.asarray(l_emit), l_prim=jnp.asarray(l_prim),
         l_twosided=jnp.asarray(l_two),
+        l_area=jnp.asarray(l_area), l_tri_p=jnp.asarray(l_tri_p),
+        l_tri_rev=jnp.asarray(l_tri_rev),
+        pre_flag=jnp.zeros(1 if geom is not None else 0, jnp.int32),
         world_center=jnp.asarray(world_center, jnp.float32),
         world_radius=jnp.asarray(world_radius, jnp.float32),
         inf_maps=tuple(inf_maps), inf_l2w=jnp.asarray(inf_l2w_arr),
@@ -141,22 +195,30 @@ def is_delta_light(l_type):
 # area-light shape sampling over geometry tables
 # ---------------------------------------------------------------------------
 
-def _sample_prim(geom, prim, u):
+def _sample_prim(geom, prim, u, tri_pre=None):
     """Uniform-area sample on global primitive `prim` (quadric or triangle).
-    Returns (p, ng, p_error, area). Reference shapes/*::sample."""
+    Returns (p, ng, p_error, area). Reference shapes/*::sample.
+
+    tri_pre: optional (p0, p1, p2, reverse, area) per-lane triangle data
+    from the LightTables precompute — avoids the 5 big-table gathers the
+    fallback pays per lane (quadric tables are small either way)."""
     nq = geom.n_quadrics
     is_tri = prim >= nq
     qid = jnp.clip(jnp.where(is_tri, 0, prim), 0, nq - 1)
     tid = jnp.clip(jnp.where(is_tri, prim - nq, 0), 0, geom.n_triangles - 1)
 
     # triangle
-    idx = geom.t_idx[tid]
-    p0 = geom.tv_p[idx[..., 0]]
-    p1 = geom.tv_p[idx[..., 1]]
-    p2 = geom.tv_p[idx[..., 2]]
+    if tri_pre is None:
+        idx = geom.t_idx[tid]
+        p0 = geom.tv_p[idx[..., 0]]
+        p1 = geom.tv_p[idx[..., 1]]
+        p2 = geom.tv_p[idx[..., 2]]
+        t_rev = geom.t_reverse[tid]
+        t_area = triangle_area(p0, p1, p2)
+    else:
+        p0, p1, p2, t_rev, t_area = tri_pre
     tp, tn, terr = triangle_sample(u, p0, p1, p2)
-    tn = jnp.where(geom.t_reverse[tid][..., None], -tn, tn)
-    t_area = triangle_area(p0, p1, p2)
+    tn = jnp.where(t_rev[..., None], -tn, tn)
 
     # quadric (object-space sample -> world)
     q_type = geom.q_type[qid]
@@ -373,7 +435,12 @@ def sample_li(lt: LightTables, geom, lid, si, u) -> LightSample:
     # area (diffuse.rs:12-98): uniform-area shape sample; FULL spheres seen
     # from outside use subtended-cone sampling instead (sphere.rs:245-310)
     prim = lt.l_prim[lid]
-    p_a, n_a, err_a, area = _sample_prim(geom, prim, u)
+    tri_pre = None
+    if lt.has_pre:
+        pts = lt.l_tri_p[lid]                 # (..., 3, 3) tiny-table gather
+        tri_pre = (pts[..., 0, :], pts[..., 1, :], pts[..., 2, :],
+                   lt.l_tri_rev[lid], lt.l_area[lid])
+    p_a, n_a, err_a, area = _sample_prim(geom, prim, u, tri_pre)
     cs = _sphere_cone_sample(geom, prim, p, u)
     p_a = jnp.where(cs.valid[..., None], cs.p, p_a)
     n_a = jnp.where(cs.valid[..., None], cs.n, n_a)
@@ -465,10 +532,14 @@ def pdf_li(lt: LightTables, geom, lid, si, wi):
     from ..ops.quadrics import quadric_intersect
     ray_o = si.p + wi * 1e-4
     t_max = jnp.full(B, INFINITY)
-    idx = geom.t_idx[tid]
-    p0 = geom.tv_p[idx[..., 0]]
-    p1 = geom.tv_p[idx[..., 1]]
-    p2 = geom.tv_p[idx[..., 2]]
+    if lt.has_pre:
+        pts = lt.l_tri_p[lid]                 # tiny-table gather
+        p0, p1, p2 = pts[..., 0, :], pts[..., 1, :], pts[..., 2, :]
+    else:
+        idx = geom.t_idx[tid]
+        p0 = geom.tv_p[idx[..., 0]]
+        p1 = geom.tv_p[idx[..., 1]]
+        p2 = geom.tv_p[idx[..., 2]]
     th = triangle_intersect(ray_o, wi, t_max, p0, p1, p2)
     t_ng = normalize(cross(p0 - p2, p1 - p2))
     o_obj = xform_point(geom.q_w2o[qid], ray_o)
@@ -479,7 +550,7 @@ def pdf_li(lt: LightTables, geom, lid, si, wi):
     hit = jnp.where(is_tri, th.hit, qh.hit)
     t_hit = jnp.where(is_tri, th.t, qh.t)
     n_l = jnp.where(is_tri[..., None], t_ng, q_n)
-    area = prim_area(geom, prim)
+    area = lt.l_area[lid] if lt.has_pre else prim_area(geom, prim)
     p_hit = ray_o + t_hit[..., None] * wi
     dist2 = distance_squared(si.p, p_hit)
     cos_l = absdot(n_l, wi)
@@ -507,8 +578,9 @@ def pdf_li_hit(lt: LightTables, geom, lid, prev_p, d, p_hit, n_hit):
     from the hit the path tracer already has — no re-intersection
     (shapes/*::pdf_wi density, diffuse.rs pdf_li). Must stay consistent
     with sample_li's area strategy."""
-    prim = lt.l_prim[jnp.clip(lid, 0, lt.n_lights - 1)]
-    area = prim_area(geom, prim)
+    lid_c = jnp.clip(lid, 0, lt.n_lights - 1)
+    prim = lt.l_prim[lid_c]
+    area = lt.l_area[lid_c] if lt.has_pre else prim_area(geom, prim)
     dist2 = jnp.maximum(distance_squared(prev_p, p_hit), 1e-12)
     cos_l = absdot(n_hit, d)
     pdf = dist2 / jnp.maximum(cos_l * area, 1e-12)
@@ -556,7 +628,7 @@ def arealight_le(lt: LightTables, arealight_id, n, w):
 def light_power(lt: LightTables, geom):
     """Approximate total power per light (light/*::power) for the power
     light-sampling distribution."""
-    area = prim_area(geom, lt.l_prim)
+    area = lt.l_area if lt.has_pre else prim_area(geom, lt.l_prim)
     lum = jnp.sum(lt.l_emit * jnp.asarray([0.212671, 0.715160, 0.072169]), -1)
     pw_point = 4.0 * PI * lum
     pw_dist = PI * lt.world_radius ** 2 * lum

@@ -47,6 +47,16 @@ class GeometryTables(NamedTuple):
     t_has_uv: jnp.ndarray     # (T,) bool
     t_alpha_tex: jnp.ndarray  # (T,) int32 alpha-atlas id (-1 none)
     t_shadow_alpha_tex: jnp.ndarray  # (T,) int32 shadow-alpha atlas id
+    # packed per-triangle shading rows: ONE (T, 32) row gather replaces the
+    # 13 separate table gathers build_interaction otherwise pays per lane
+    # (t_idx + 3x tv_p + 3x tv_n + 3x tv_uv + flags + material + arealight).
+    # Measured on v5e: a bulk gather costs ~1.1 ms per 2^18 indices
+    # REGARDLESS of row width (3..128 floats), so 13 gathers -> 1 is ~12 ms
+    # per full-width interaction build. Layout per row:
+    #   [0:9) p0 p1 p2 | [9:18) n0 n1 n2 | [18:24) uv0 uv1 uv2 |
+    #   24 flags (bit0 has_uv, bit1 has_n, bit2 reverse, bitcast i32) |
+    #   25 material (bitcast) | 26 arealight (bitcast) | 27:32 pad
+    t_shade: jnp.ndarray      # (T, 32) float32
     # baked alpha-mask atlas (bundle.py::_bake_alpha); length-1 = disabled
     alpha_atlas: jnp.ndarray  # (A,) float32 flattened texels
     alpha_meta: jnp.ndarray   # (K, 3) int32 [offset, width, height]
@@ -134,6 +144,29 @@ def _dummy_tris():
     )
 
 
+def _pack_shade_rows(t):
+    """Bake the per-triangle shading attributes into (T, 32) rows (layout
+    documented on GeometryTables.t_shade). Values are bit-exact copies of
+    the separate tables, so build_interaction's results are unchanged."""
+    idx = np.asarray(t["t_idx"], np.int32)
+    tv_p = np.asarray(t["tv_p"], np.float32)
+    tv_n = np.asarray(t["tv_n"], np.float32)
+    tv_uv = np.asarray(t["tv_uv"], np.float32)
+    T = idx.shape[0]
+    rec = np.zeros((T, 32), np.float32)
+    for v in range(3):
+        rec[:, 3 * v:3 * v + 3] = tv_p[idx[:, v]]
+        rec[:, 9 + 3 * v:12 + 3 * v] = tv_n[idx[:, v]]
+        rec[:, 18 + 2 * v:20 + 2 * v] = tv_uv[idx[:, v]]
+    flags = (np.asarray(t["t_has_uv"]).astype(np.int32)
+             | (np.asarray(t["t_has_n"]).astype(np.int32) << 1)
+             | (np.asarray(t["t_reverse"]).astype(np.int32) << 2))
+    rec[:, 24] = flags.view(np.float32)
+    rec[:, 25] = np.asarray(t["t_material"], np.int32).view(np.float32)
+    rec[:, 26] = np.asarray(t["t_arealight"], np.int32).view(np.float32)
+    return rec
+
+
 def make_geometry(quadrics: Optional[dict] = None, tris: Optional[dict] = None,
                   bvh: Optional[dict] = None,
                   alpha: Optional[dict] = None) -> GeometryTables:
@@ -150,6 +183,7 @@ def make_geometry(quadrics: Optional[dict] = None, tris: Optional[dict] = None,
     t = tris if tris and len(tris.get("t_idx", [])) else _dummy_tris()
     t.setdefault("t_shadow_alpha_tex",
                  np.full(len(t["t_idx"]), -1, np.int32))
+    t["t_shade"] = _pack_shade_rows(t)
     if alpha is None:
         alpha = dict(alpha_atlas=np.ones(1, np.float32),
                      alpha_meta=np.zeros((1, 3), np.int32))
@@ -561,31 +595,34 @@ def build_interaction(tables: GeometryTables, ray: Ray, hit, t, prim,
     q_al = tables.q_arealight[qid]
 
     # --- triangle branch ---
-    # Instanced hits (inst >= 0): the stored rows are OBJECT-space; gather
-    # and transform the three vertices (and below, the vertex normals) to
-    # world so the rest of the branch is space-agnostic. The reference
-    # instead transforms the finished interaction (primitive.rs:100-113);
-    # doing it at the vertices keeps the watertight re-intersection exact.
-    idx = tables.t_idx[tid]
-    p0 = tables.tv_p[idx[..., 0]]
-    p1 = tables.tv_p[idx[..., 1]]
-    p2 = tables.tv_p[idx[..., 2]]
+    # ONE packed-row gather (t_shade layout) replaces 13 separate table
+    # gathers — measured ~12 ms/2^18 lanes saved on v5e (bulk-gather cost
+    # is per-index, not per-byte). Instanced hits (inst >= 0): the stored
+    # rows are OBJECT-space; transform the three vertices (and below, the
+    # vertex normals) to world so the rest of the branch is
+    # space-agnostic. The reference instead transforms the finished
+    # interaction (primitive.rs:100-113); doing it at the vertices keeps
+    # the watertight re-intersection exact.
+    rec = tables.t_shade[tid]                 # (..., 32)
+    bc = lambda c: jax.lax.bitcast_convert_type(rec[..., c], jnp.int32)
+    p0, p1, p2 = rec[..., 0:3], rec[..., 3:6], rec[..., 6:9]
     p0, p1, p2 = _inst_xform_pts(tables, inst, p0, p1, p2)
     th = triangle_intersect(ray.o, ray.d, jnp.where(hit, t * 1.0001 + 1e-4, ray.t_max),
                             p0, p1, p2)
-    has_uv = tables.t_has_uv[tid]
+    flags = bc(24)
+    has_uv = (flags & 1) != 0
     uv_default = jnp.stack([
         jnp.stack([jnp.zeros_like(t), jnp.zeros_like(t)], -1),
         jnp.stack([jnp.ones_like(t), jnp.zeros_like(t)], -1),
         jnp.stack([jnp.ones_like(t), jnp.ones_like(t)], -1)], axis=-2)  # (..., 3, 2)
-    uv0 = jnp.where(has_uv[..., None], tables.tv_uv[idx[..., 0]], uv_default[..., 0, :])
-    uv1 = jnp.where(has_uv[..., None], tables.tv_uv[idx[..., 1]], uv_default[..., 1, :])
-    uv2 = jnp.where(has_uv[..., None], tables.tv_uv[idx[..., 2]], uv_default[..., 2, :])
+    uv0 = jnp.where(has_uv[..., None], rec[..., 18:20], uv_default[..., 0, :])
+    uv1 = jnp.where(has_uv[..., None], rec[..., 20:22], uv_default[..., 1, :])
+    uv2 = jnp.where(has_uv[..., None], rec[..., 22:24], uv_default[..., 2, :])
     t_p, t_perr = triangle_point_error(th.b0, th.b1, th.b2, p0, p1, p2)
     t_uv = th.b0[..., None] * uv0 + th.b1[..., None] * uv1 + th.b2[..., None] * uv2
     t_dpdu, t_dpdv = triangle_partial_derivs(p0, p1, p2, uv0, uv1, uv2)
     t_ng = normalize(cross(p0 - p2, p1 - p2))
-    t_rev = tables.t_reverse[tid]
+    t_rev = (flags & 4) != 0
     if tables.has_instances and inst is not None:
         # a handedness-swapping instance transform flips orientation
         # (primitive.rs via transform.swaps_handedness)
@@ -593,10 +630,10 @@ def build_interaction(tables: GeometryTables, ray: Ray, hit, t, prim,
                          & tables.inst_flip[jnp.maximum(inst, 0)])
     t_ng = jnp.where(t_rev[..., None], -t_ng, t_ng)
     # shading normal from vertex normals
-    has_n = tables.t_has_n[tid]
-    nv0 = tables.tv_n[idx[..., 0]]
-    nv1 = tables.tv_n[idx[..., 1]]
-    nv2 = tables.tv_n[idx[..., 2]]
+    has_n = (flags & 2) != 0
+    nv0 = rec[..., 9:12]
+    nv1 = rec[..., 12:15]
+    nv2 = rec[..., 15:18]
     if tables.has_instances and inst is not None:
         iw2o = tables.inst_w2o[jnp.maximum(inst, 0)]
         use_i = (inst >= 0)[..., None]
@@ -617,8 +654,8 @@ def build_interaction(tables: GeometryTables, ray: Ray, hit, t, prim,
                        jnp.where((has_n & t_rev)[..., None], -t_dndu, 0.0))
     t_dndv = jnp.where((has_n & ~t_rev)[..., None], t_dndv,
                        jnp.where((has_n & t_rev)[..., None], -t_dndv, 0.0))
-    t_mat = tables.t_material[tid]
-    t_al = tables.t_arealight[tid]
+    t_mat = bc(25)
+    t_al = bc(26)
 
     # --- select ---
     w = lambda a, b: jnp.where(is_tri[..., None], a, b)

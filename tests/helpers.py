@@ -95,7 +95,8 @@ def cornell_box(light_emit=(15.0, 15.0, 15.0)):
                  prim=nq + first, twosided=False),
             dict(type=LIGHT_AREA, pos=(0, 0, 0), emit=light_emit,
                  prim=nq + first + 1, twosided=False)]
-    lights = make_lights(rows, world_center=(0.5, 0.5, 0.5), world_radius=1.0)
+    lights = make_lights(rows, world_center=(0.5, 0.5, 0.5), world_radius=1.0,
+                         geom=geom)
     return geom, lights
 
 
