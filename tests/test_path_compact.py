@@ -77,11 +77,11 @@ WorldEnd
 
 
 def test_quarter_tier_matches_full_width(monkeypatch):
-    """The nested B/4 tier (bounces 2..d-2 re-compacted within the B/2
-    slab) must execute AND match the full-width scan: a small floor quad
-    under a wide-fov camera keeps the camera hit fraction below 1/4, so
-    n_alive <= B/4 holds at bounce 1 entry and the qb branch is the one
-    that runs (alive counts only decay across bounces)."""
+    """The B/4 slab tier must execute AND match the full-width scan: a
+    small floor quad under a wide-fov camera keeps the camera hit
+    fraction below 1/4, so n_alive <= B/4 holds at interior-scan entry
+    and the quarter branch is the one that runs (alive counts only decay
+    across bounces)."""
     api = parse_scene_string(SPARSE_SCENE)
     sc = api.scene
     # guarantee the quarter branch is the executed one: camera hit
