@@ -71,6 +71,35 @@ def atlas_texels(images: List[list]):
     return jnp.concatenate(parts, axis=0)
 
 
+def atlas_quad_texels(images: List[list]):
+    """(T, 12) rows [v00 v10 v01 v11]: each texel row carries its 2x2
+    bilerp neighborhood with REPEAT wrapping baked in via jnp.roll, so a
+    bilerp costs ONE row gather instead of four texel gathers (bulk-gather
+    cost is per-index, docs/PERF.md fact 6 — an EWA lookup drops from 64
+    to 16 gathers). Valid only when every registration uses WRAP_REPEAT
+    (see all_repeat); rows are linear views of the pyramids, so texel
+    cotangents sum over the 4 duplicates and gradients stay exact."""
+    parts = []
+    for pyr in images:
+        for lv in pyr:
+            lv = jnp.asarray(lv, jnp.float32)
+            if lv.ndim == 2:
+                lv = lv[..., None]
+            if lv.shape[-1] == 1:
+                lv = jnp.repeat(lv, 3, axis=-1)
+            r = jnp.roll(lv, -1, axis=1)       # (s+1, t), wrapped
+            d = jnp.roll(lv, -1, axis=0)       # (s, t+1)
+            rd = jnp.roll(r, -1, axis=0)       # (s+1, t+1)
+            parts.append(jnp.concatenate([lv, r, d, rd], -1).reshape(-1, 12))
+    return jnp.concatenate(parts, axis=0)
+
+
+def all_repeat(regs):
+    """Static check: every registration wraps REPEAT (the PBRT default) —
+    the precondition for the quad-texel fast path."""
+    return bool(np.all(np.asarray(regs["reg_wrap"]) == WRAP_REPEAT))
+
+
 def build_registrations(texs):
     """Static per-registration tables for a list of ImageTexture
     instances. → dict(reg_img (K,), reg_map (K,4) [su,sv,du,dv], reg_scale
@@ -124,8 +153,26 @@ def _bilerp_at(texels, meta, wrap, img, li, st):
         (1 - ds) * dt * v01 + ds * dt * v11
 
 
+def _bilerp_at_quad(qtexels, meta, img, li, st):
+    """One (B, 12) quad-row gather per bilerp (REPEAT wrap baked into the
+    rows by atlas_quad_texels); arithmetic matches _bilerp_at exactly."""
+    m = meta[img, li]
+    off, w, h = m[..., 0], m[..., 1], m[..., 2]
+    s = st[..., 0] * w.astype(jnp.float32) - 0.5
+    t = st[..., 1] * h.astype(jnp.float32) - 0.5
+    s0 = jnp.floor(s).astype(jnp.int32)
+    t0 = jnp.floor(t).astype(jnp.int32)
+    ds = (s - s0)[..., None]
+    dt = (t - t0)[..., None]
+    s_f = jnp.mod(s0, w)
+    t_f = jnp.mod(t0, h)
+    v = qtexels[off + t_f * w + s_f]                   # (B, 12)
+    return (1 - ds) * (1 - dt) * v[..., 0:3] + ds * (1 - dt) * v[..., 3:6] \
+        + (1 - ds) * dt * v[..., 6:9] + ds * dt * v[..., 9:12]
+
+
 def atlas_lookup_ewa(texels, meta, levels, regs, reg, si,
-                     max_anisotropy=8.0, n_taps=8):
+                     max_anisotropy=8.0, n_taps=8, quad=False):
     """Per-lane EWA lookup: reg (B,) int32 registration ids (< 0 lanes get
     zeros — callers mask). Same tap scheme as ops/mipmap.lookup_ewa but
     every mip-chain parameter is a gather."""
@@ -171,8 +218,12 @@ def atlas_lookup_ewa(texels, meta, levels, regs, reg, si,
         r2 = (2.0 * a) ** 2
         wgt = float(np.exp(-2.0 * r2) - np.exp(-2.0))
         st_k = st + a * major
-        v = (1.0 - dl) * _bilerp_at(texels, meta_j, wrap, img, l0, st_k) \
-            + dl * _bilerp_at(texels, meta_j, wrap, img, l1, st_k)
+        if quad:   # texels is the (T, 12) quad array (all-REPEAT scenes)
+            v = (1.0 - dl) * _bilerp_at_quad(texels, meta_j, img, l0, st_k) \
+                + dl * _bilerp_at_quad(texels, meta_j, img, l1, st_k)
+        else:
+            v = (1.0 - dl) * _bilerp_at(texels, meta_j, wrap, img, l0, st_k) \
+                + dl * _bilerp_at(texels, meta_j, wrap, img, l1, st_k)
         out = out + wgt * v
         wsum += wgt
     out = out / wsum * jnp.asarray(regs["reg_scale"])[r][..., None]

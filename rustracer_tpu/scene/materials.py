@@ -727,14 +727,20 @@ class MaterialSet:
                 and "atlas_meta" in ctx.textures:
             S_, slot_tab, regs, per_mat_tex = self.atlas_prep()
             if S_:
-                from .atlas import atlas_lookup_ewa, atlas_texels
-                texels = atlas_texels(ctx.textures["images"])
+                from .atlas import (all_repeat, atlas_lookup_ewa,
+                                    atlas_quad_texels, atlas_texels)
+                # all-REPEAT scenes (the PBRT default wrap) use the baked
+                # 2x2 quad rows: 16 gathers per EWA lookup instead of 64
+                use_quad = all_repeat(regs)
+                texels = (atlas_quad_texels(ctx.textures["images"])
+                          if use_quad else
+                          atlas_texels(ctx.textures["images"]))
                 midc = jnp.clip(si.material, 0, len(self.materials) - 1)
                 slot_j = jnp.asarray(slot_tab)
                 atlas_cache = [
                     atlas_lookup_ewa(texels, ctx.textures["atlas_meta"],
                                      ctx.textures["atlas_levels"], regs,
-                                     slot_j[midc, s], si)
+                                     slot_j[midc, s], si, quad=use_quad)
                     for s in range(S_)]
 
         # try/finally: an exception mid-loop must not leak the tracer-bearing

@@ -90,8 +90,8 @@ def main():
     orig_ewa = AT.atlas_lookup_ewa
     try:
         def one_tap(texels, meta, levels, regs, reg, si, **kw):
-            return orig_ewa(texels, meta, levels, regs, reg, si,
-                            max_anisotropy=8.0, n_taps=1)
+            kw.update(max_anisotropy=8.0, n_taps=1)
+            return orig_ewa(texels, meta, levels, regs, reg, si, **kw)
         AT.atlas_lookup_ewa = one_tap
         # materials.py imports the symbol at call time (from .atlas import)
         results["ewa_1tap"] = timed_render(ctx, cam, film, sampler, integ,
